@@ -1,0 +1,292 @@
+"""Exact batched demodulation: DPLL clock recovery + HDLC deframing.
+
+Semantics are bit-identical to the reference's per-sample loops
+(receiver.c:109-135 DPLL/slicer/NRZI; protodec.c:988-1122 HDLC), but
+vectorized over a ``streams`` axis: time stays sequential (it is a true
+recurrence), streams are the data-parallel axis that fills the VPU
+lanes.  Two phases:
+
+1. ``dpll_scan``   — lax.scan over samples; emits (valid, bit) lanes.
+2. ``compact_bits``— scatter emitted bits to dense per-stream bit rows
+                     (a ~5x step reduction for the HDLC scan).
+3. ``hdlc_scan``   — lax.scan over bit slots; the 449-bit frame buffer
+                     is a packed 15x32-bit shift register per stream
+                     (append = multiword shift, no scatter), and
+                     completed frames are snapshotted into a small slot
+                     array.  CRC runs on the host over the rare frames.
+
+All decoder state is an explicit carry pytree, so blocks chain exactly,
+shard boundaries are a carry hand-off, and checkpoint/resume is a
+pytree snapshot.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gnuais_tpu import constants as C
+
+# Shift register geometry: 15 x 32 = 480 bits >= 449-bit buffer cap.
+REG_WORDS = 15
+REG_BITS = REG_WORDS * 32
+
+
+# ---------------------------------------------------------------------------
+# DPLL
+# ---------------------------------------------------------------------------
+
+class DpllState(NamedTuple):
+    pll: jax.Array       # [S] int32, 16-bit phase accumulator
+    prev: jax.Array      # [S] int32, previous sample sign
+    lastbit: jax.Array   # [S] int32, previous sliced bit (NRZI)
+
+
+def init_dpll(n_streams: int) -> DpllState:
+    z = jnp.zeros((n_streams,), dtype=jnp.int32)
+    return DpllState(pll=z, prev=z, lastbit=z)
+
+
+def dpll_scan(filtered: jax.Array, sample_valid: jax.Array,
+              state: DpllState) -> Tuple[jax.Array, jax.Array, DpllState]:
+    """filtered: float32 [S, T]; sample_valid: bool [T] (for short final
+    blocks).  Returns (bit_valid [S, T] bool, bits [S, T] int32, state').
+    """
+
+    def step(st: DpllState, x):
+        sample, valid = x
+        curr = (sample > 0).astype(jnp.int32)
+        trans = curr != st.prev
+        nudge = jnp.where(st.pll < C.PLL_CENTER, C.PLL_NUDGE, -C.PLL_NUDGE)
+        pll = st.pll + jnp.where(trans, nudge, 0)
+        pll = pll + C.PLL_INC
+        emit = pll > 0xFFFF
+        bit = 1 - (curr ^ st.lastbit)            # NRZI decode
+        lastbit = jnp.where(emit, curr, st.lastbit)
+        pll = jnp.where(emit, pll & 0xFFFF, pll)
+        new = DpllState(
+            pll=jnp.where(valid, pll, st.pll),
+            prev=jnp.where(valid, curr, st.prev),
+            lastbit=jnp.where(valid, lastbit, st.lastbit),
+        )
+        return new, (emit & valid, bit)
+
+    xs = (filtered.T, sample_valid)              # scan over time
+    state, (valid_t, bits_t) = jax.lax.scan(step, state, xs)
+    return valid_t.T, bits_t.T, state
+
+
+def compact_bits(bit_valid: jax.Array, bits: jax.Array,
+                 max_bits: int) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Pack emitted bits densely: returns (bitrows [S, max_bits] int32,
+    slot_valid [S, max_bits] bool, nbits [S])."""
+    s = bits.shape[0]
+    pos = jnp.cumsum(bit_valid.astype(jnp.int32), axis=1) - 1
+    pos = jnp.where(bit_valid, pos, max_bits)    # dropped by "drop" mode
+    rows = jnp.broadcast_to(jnp.arange(s)[:, None], pos.shape)
+    bitrows = jnp.zeros((s, max_bits), dtype=jnp.int32)
+    bitrows = bitrows.at[rows, pos].set(bits, mode="drop")
+    nbits = jnp.sum(bit_valid, axis=1).astype(jnp.int32)
+    slot_valid = jnp.arange(max_bits)[None, :] < nbits[:, None]
+    return bitrows, slot_valid, nbits
+
+
+# ---------------------------------------------------------------------------
+# HDLC
+# ---------------------------------------------------------------------------
+
+class HdlcState(NamedTuple):
+    state: jax.Array          # [S] int32 (ST_*)
+    last: jax.Array           # [S] int32
+    antallpreamble: jax.Array # [S] int32
+    nstartsign: jax.Array     # [S] int32
+    antallenner: jax.Array    # [S] int32
+    bitstuff: jax.Array       # [S] int32
+    bufferpos: jax.Array      # [S] int32
+    shiftreg: jax.Array       # [S, REG_WORDS] uint32, newest bit = LSB of word 14
+
+
+class FrameBatch(NamedTuple):
+    """Per-block frame outputs (reset every block)."""
+    words: jax.Array     # [S, F, REG_WORDS] uint32 register snapshots
+    length: jax.Array    # [S, F] int32 payload bit count (bufferpos - 22)
+    count: jax.Array     # [S] int32 frames emitted
+    lost2: jax.Array     # [S] int32 bad stop-sign frames (wrong size)
+    dropped: jax.Array   # [S] int32 frames lost to slot overflow
+
+
+def init_hdlc(n_streams: int) -> HdlcState:
+    z = jnp.zeros((n_streams,), dtype=jnp.int32)
+    return HdlcState(
+        state=jnp.full((n_streams,), C.ST_SKURR, dtype=jnp.int32),
+        last=z, antallpreamble=z, nstartsign=z, antallenner=z,
+        bitstuff=z, bufferpos=z,
+        shiftreg=jnp.zeros((n_streams, REG_WORDS), dtype=jnp.uint32),
+    )
+
+
+def init_frames(n_streams: int, frame_slots: int) -> FrameBatch:
+    z = jnp.zeros((n_streams,), dtype=jnp.int32)
+    return FrameBatch(
+        words=jnp.zeros((n_streams, frame_slots, REG_WORDS), dtype=jnp.uint32),
+        length=jnp.zeros((n_streams, frame_slots), dtype=jnp.int32),
+        count=z, lost2=z, dropped=z,
+    )
+
+
+def _reg_append(reg: jax.Array, bit: jax.Array) -> jax.Array:
+    """Multiword shift-left by one, inserting ``bit`` at the LSB of the
+    last word.  reg: [S, W] uint32; bit: [S] int32."""
+    hi = reg << 1
+    carry_in = jnp.concatenate(
+        [(reg[:, 1:] >> 31), bit[:, None].astype(jnp.uint32)], axis=1)
+    return hi | carry_in
+
+
+def hdlc_scan(bitrows: jax.Array, slot_valid: jax.Array,
+              state: HdlcState, frames: FrameBatch
+              ) -> Tuple[HdlcState, FrameBatch]:
+    """Run the deframer over dense bit rows.
+
+    bitrows/slot_valid: [S, M]; scans M steps, each a vectorized exact
+    re-derivation of the reference's per-bit switch (protodec.c:993-1121).
+    """
+    s = bitrows.shape[0]
+    frame_slots = frames.words.shape[1]
+    rows = jnp.arange(s)
+
+    def step(carry, x):
+        st, fo = carry
+        b, valid = x                      # [S] int32, [S] bool
+
+        is_data = st.state == C.ST_DATA
+        is_skurr = st.state == C.ST_SKURR
+        is_pre = st.state == C.ST_PREAMBLE
+        is_start = st.state == C.ST_STARTSIGN
+        is_stop = st.state == C.ST_STOPSIGN
+
+        b1 = b == 1
+        b0 = jnp.logical_not(b1)
+
+        # ---- ST_DATA -------------------------------------------------
+        d_stuffed = st.bitstuff == 1
+        d_to_stop = d_stuffed & b1
+        d_skip = d_stuffed & b0            # stuffed zero: dropped bit
+        d_app = jnp.logical_not(d_stuffed)
+        # run-of-ones counter (only on append path)
+        ae_new = jnp.where(b1 & (st.last == 1), st.antallenner + 1, 0)
+        d_set_stuff = ae_new == 4
+        ae_app = jnp.where(d_set_stuff, 0, ae_new)
+        bp_app = st.bufferpos + 1
+        d_reset = d_app & (bp_app >= C.MAX_FRAME_DATA_BITS)
+
+        d_state = jnp.where(d_to_stop, C.ST_STOPSIGN,
+                            jnp.where(d_reset, C.ST_SKURR, C.ST_DATA))
+        d_bs = jnp.where(d_reset, 0, jnp.where(d_app & d_set_stuff, 1, 0))
+        d_ae = jnp.where(d_reset, 0, jnp.where(d_app, ae_app, st.antallenner))
+        d_bp = jnp.where(d_reset, 0, jnp.where(d_app, bp_app, st.bufferpos))
+        d_ap = jnp.where(d_reset, 0, st.antallpreamble)
+        d_ns = jnp.where(d_reset, 0, st.nstartsign)
+
+        # ---- ST_SKURR ------------------------------------------------
+        ap_s = jnp.where(b != st.last, st.antallpreamble + 1, 0)
+        s_go = (ap_s > 14) & b0
+        s_state = jnp.where(s_go, C.ST_PREAMBLE, C.ST_SKURR)
+        s_ap = jnp.where(s_go, 0, ap_s)
+
+        # ---- ST_PREAMBLE ---------------------------------------------
+        p_alt = (b != st.last) & (st.nstartsign == 0)
+        p_ns0 = st.nstartsign == 0
+        p_ns5 = st.nstartsign == 5
+        p_to_start = jnp.logical_not(p_alt) & b1 & p_ns5
+        p_reset = jnp.logical_not(p_alt) & b0 & jnp.logical_not(p_ns0)
+        p_ns = jnp.where(
+            p_alt, st.nstartsign,
+            jnp.where(b1,
+                      jnp.where(p_ns0, 3, jnp.where(p_ns5, 6, st.nstartsign + 1)),
+                      jnp.where(p_ns0, 1, 0)))
+        p_ap = jnp.where(p_alt, st.antallpreamble + 1,
+                         jnp.where(p_to_start | p_reset, 0, st.antallpreamble))
+        p_state = jnp.where(p_to_start, C.ST_STARTSIGN,
+                            jnp.where(p_reset, C.ST_SKURR, C.ST_PREAMBLE))
+        p_ae = jnp.where(p_reset, 0, st.antallenner)
+        p_bs = jnp.where(p_reset, 0, st.bitstuff)
+        p_bp = jnp.where(p_reset, 0, st.bufferpos)
+
+        # ---- ST_STARTSIGN --------------------------------------------
+        t_ge7 = st.nstartsign >= 7
+        t_to_data = t_ge7 & b0
+        t_reset = (t_ge7 & b1) | (jnp.logical_not(t_ge7) & b0)
+        # reset/to-data set nstartsign to 0, then the unconditional
+        # post-increment runs (protodec.c:1092) -> 1
+        t_ns = jnp.where(t_to_data | t_reset, 1, st.nstartsign + 1)
+        t_state = jnp.where(t_to_data, C.ST_DATA,
+                            jnp.where(t_reset, C.ST_SKURR, C.ST_STARTSIGN))
+        t_ae = jnp.where(t_to_data | t_reset, 0, st.antallenner)
+        t_bs = jnp.where(t_reset, 0, st.bitstuff)
+        t_bp = jnp.where(t_to_data | t_reset, 0, st.bufferpos)
+        t_ap = jnp.where(t_reset, 0, st.antallpreamble)
+
+        # ---- ST_STOPSIGN ---------------------------------------------
+        flen = st.bufferpos - C.FRAME_TAIL_BITS
+        good = b0 & (flen > 0)
+        # always a full reset afterwards (protodec.c:1114)
+
+        # ---- merge ---------------------------------------------------
+        def pick(data, skurr, pre, start, stop):
+            return jnp.where(is_data, data,
+                   jnp.where(is_skurr, skurr,
+                   jnp.where(is_pre, pre,
+                   jnp.where(is_start, start, stop))))
+
+        n_state = pick(d_state, s_state, p_state, t_state,
+                       jnp.full_like(st.state, C.ST_SKURR))
+        n_ap = pick(d_ap, s_ap, p_ap, t_ap, jnp.zeros_like(st.antallpreamble))
+        n_ns = pick(d_ns, st.nstartsign, p_ns, t_ns, jnp.zeros_like(st.nstartsign))
+        n_ae = pick(d_ae, st.antallenner, p_ae, t_ae, jnp.zeros_like(st.antallenner))
+        n_bs = pick(d_bs, st.bitstuff, p_bs, t_bs, jnp.zeros_like(st.bitstuff))
+        n_bp = pick(d_bp, st.bufferpos, p_bp, t_bp, jnp.zeros_like(st.bufferpos))
+
+        append = is_data & d_app
+        n_reg = jnp.where(append[:, None], _reg_append(st.shiftreg, b),
+                          st.shiftreg)
+
+        # masked (invalid slot) -> keep everything
+        def keep(new, old):
+            return jnp.where(valid, new, old)
+
+        new_st = HdlcState(
+            state=keep(n_state, st.state),
+            last=keep(b, st.last),
+            antallpreamble=keep(n_ap, st.antallpreamble),
+            nstartsign=keep(n_ns, st.nstartsign),
+            antallenner=keep(n_ae, st.antallenner),
+            bitstuff=keep(n_bs, st.bitstuff),
+            bufferpos=keep(n_bp, st.bufferpos),
+            shiftreg=jnp.where(valid[:, None], n_reg, st.shiftreg),
+        )
+
+        # ---- frame emission ------------------------------------------
+        emit = is_stop & good & valid
+        can = emit & (fo.count < frame_slots)
+        idx = jnp.where(can, fo.count, 0)
+        cur_words = fo.words[rows, idx]
+        cur_len = fo.length[rows, idx]
+        new_words = fo.words.at[rows, idx].set(
+            jnp.where(can[:, None], st.shiftreg, cur_words))
+        new_len = fo.length.at[rows, idx].set(jnp.where(can, flen, cur_len))
+        new_fo = FrameBatch(
+            words=new_words,
+            length=new_len,
+            count=fo.count + can.astype(jnp.int32),
+            lost2=fo.lost2 + (is_stop & jnp.logical_not(good) & valid).astype(jnp.int32),
+            dropped=fo.dropped + (emit & jnp.logical_not(can)).astype(jnp.int32),
+        )
+        return (new_st, new_fo), None
+
+    (state, frames), _ = jax.lax.scan(step, (state, frames),
+                                      (bitrows.T, slot_valid.T))
+    return state, frames

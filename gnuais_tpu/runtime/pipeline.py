@@ -1,0 +1,162 @@
+"""Batched decode pipeline: the device program + host frame drain.
+
+One jitted step consumes an ``[S, T]`` int16 block and the carry pytree
+(FIR history + DPLL state + HDLC state), returning the new carry and the
+block's frame snapshots.  The host unpacks the rare frame snapshots,
+runs CRC-16 and hands CRC-passing payloads to the AIS layer.
+
+This is the exact path (bit-identical to the reference per-sample
+semantics).  The Pallas fused kernel in ops/fused.py accelerates the
+same contract.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gnuais_tpu import constants as C
+from gnuais_tpu.golden.model import Frame, crc_check_and_extract
+from gnuais_tpu.ops import demod, fir
+
+
+class PipelineCarry(NamedTuple):
+    history: jax.Array        # [S, 36] float32 FIR history
+    dpll: demod.DpllState
+    hdlc: demod.HdlcState
+
+
+def init_carry(n_streams: int) -> PipelineCarry:
+    return PipelineCarry(
+        history=fir.init_history(n_streams),
+        dpll=init_dpll(n_streams),
+        hdlc=demod.init_hdlc(n_streams),
+    )
+
+
+def init_dpll(n_streams: int):
+    return demod.init_dpll(n_streams)
+
+
+@functools.partial(jax.jit, static_argnames=("frame_slots", "exact_fir"))
+def decode_block(samples: jax.Array, n_valid: jax.Array,
+                 carry: PipelineCarry, frame_slots: int = 32,
+                 exact_fir: bool = True
+                 ) -> Tuple[PipelineCarry, demod.FrameBatch, jax.Array]:
+    """samples: int16 [S, T]; n_valid: scalar int32 (samples actually
+    present — short final blocks are padded to T).  Returns
+    (carry', frames, peak [S])."""
+    t = samples.shape[1]
+    sample_valid = jnp.arange(t) < n_valid
+    fir_fn = fir.fir_exact if exact_fir else fir.fir_conv
+    filtered, history = fir_fn(samples, carry.history, n_valid=n_valid)
+    bit_valid, bits, dpll_state = demod.dpll_scan(filtered, sample_valid,
+                                                  carry.dpll)
+    max_bits = t // C.SAMPLES_PER_BIT + 2
+    bitrows, slot_valid, _ = demod.compact_bits(bit_valid, bits, max_bits)
+    frames0 = demod.init_frames(samples.shape[0], frame_slots)
+    hdlc_state, frames = demod.hdlc_scan(bitrows, slot_valid,
+                                         carry.hdlc, frames0)
+    peak = fir.block_peak(samples)
+    return PipelineCarry(history, dpll_state, hdlc_state), frames, peak
+
+
+def _reg_to_bits(words: np.ndarray, nbits: int) -> np.ndarray:
+    """Unpack the last ``nbits`` appended bits from a register snapshot
+    ([REG_WORDS] uint32, newest bit = LSB of the last word)."""
+    allbits = np.zeros(demod.REG_BITS, dtype=np.uint8)
+    for w in range(demod.REG_WORDS):
+        v = int(words[w])
+        for i in range(32):
+            allbits[w * 32 + i] = (v >> (31 - i)) & 1
+    return allbits[demod.REG_BITS - nbits:]
+
+
+def extract_frames(frames: demod.FrameBatch) -> List[List[Frame]]:
+    """Host drain: CRC-check each snapshot; returns per-stream lists of
+    Frame (crc_ok False entries kept for the wrong-CRC counter)."""
+    words = np.asarray(frames.words)
+    length = np.asarray(frames.length)
+    count = np.asarray(frames.count)
+    out: List[List[Frame]] = []
+    for s in range(words.shape[0]):
+        lst: List[Frame] = []
+        for k in range(int(count[s])):
+            flen = int(length[s, k])
+            # the register holds the full appended run: payload bits +
+            # 16 FCS + 6 flag bits
+            raw = _reg_to_bits(words[s, k], flen + C.FRAME_TAIL_BITS)
+            ok, payload = crc_check_and_extract(raw, flen)
+            lst.append(Frame(payload if ok else raw[:flen], flen, ok))
+        out.append(lst)
+    return out
+
+
+@dataclass
+class StreamCounters:
+    receivedframes: int = 0
+    lostframes: int = 0
+    lostframes2: int = 0
+
+
+class BatchPipeline:
+    """Streaming decoder for S independent streams with carried state."""
+
+    def __init__(self, n_streams: int, block_len: int = 49_152,
+                 frame_slots: int = 32, exact_fir: bool = True):
+        self.n_streams = n_streams
+        self.block_len = block_len
+        self.frame_slots = frame_slots
+        self.exact_fir = exact_fir
+        self.carry = init_carry(n_streams)
+        self.counters = [StreamCounters() for _ in range(n_streams)]
+
+    def process(self, samples: np.ndarray) -> List[List[Frame]]:
+        """samples: int16 [S, n] with n <= block_len (padded internally).
+        Returns per-stream CRC-passing frames in arrival order."""
+        s, n = samples.shape
+        assert s == self.n_streams and n <= self.block_len
+        if n < self.block_len:
+            samples = np.pad(samples, ((0, 0), (0, self.block_len - n)))
+        self.carry, frames, _peak = decode_block(
+            jnp.asarray(samples), jnp.int32(n), self.carry,
+            frame_slots=self.frame_slots, exact_fir=self.exact_fir)
+        per_stream = extract_frames(frames)
+        lost2 = np.asarray(frames.lost2)
+        dropped = np.asarray(frames.dropped)
+        result: List[List[Frame]] = []
+        for i, lst in enumerate(per_stream):
+            ok = [f for f in lst if f.crc_ok]
+            ctr = self.counters[i]
+            ctr.receivedframes += len(ok)
+            ctr.lostframes += len(lst) - len(ok)
+            ctr.lostframes2 += int(lost2[i])
+            if dropped[i]:
+                raise RuntimeError(
+                    f"frame slot overflow on stream {i}: raise frame_slots")
+            result.append(ok)
+        return result
+
+
+class JaxReceiver:
+    """Single-channel adapter with the golden-receiver interface
+    (run_block/counters), for session-level parity testing."""
+
+    def __init__(self, name: str = "A", block_len: int = 1020,
+                 frame_slots: int = 16):
+        self.name = name
+        self.pipe = BatchPipeline(1, block_len=block_len,
+                                  frame_slots=frame_slots)
+
+    def run_block(self, samples: np.ndarray) -> List[Frame]:
+        return self.pipe.process(samples[None, :])[0]
+
+    @property
+    def counters(self):
+        c = self.pipe.counters[0]
+        return (c.receivedframes, c.lostframes, c.lostframes2)
