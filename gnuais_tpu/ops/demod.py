@@ -158,6 +158,19 @@ def hdlc_scan(bitrows: jax.Array, slot_valid: jax.Array,
     frame_slots = frames.words.shape[1]
     rows = jnp.arange(s)
 
+    # Under shard_map the decoder state is device-varying while a fresh
+    # FrameBatch is replicated; mixing them in one scan carry is a type
+    # error.  Derive zero-valued varying terms from the state so the
+    # initial carry has uniform vma in both sharded and unsharded use.
+    zvary = (state.bufferpos * 0).astype(jnp.int32)          # [S]
+    frames = FrameBatch(
+        words=frames.words + zvary[:, None, None].astype(jnp.uint32),
+        length=frames.length + zvary[:, None],
+        count=frames.count + zvary,
+        lost2=frames.lost2 + zvary,
+        dropped=frames.dropped + zvary,
+    )
+
     def step(carry, x):
         st, fo = carry
         b, valid = x                      # [S] int32, [S] bool

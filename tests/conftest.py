@@ -14,6 +14,12 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax
+
+# The axon TPU plugin ignores the JAX_PLATFORMS env var; the config key
+# is honored.  Must run before any computation.
+jax.config.update("jax_platforms", "cpu")
+
 import pytest
 
 REPO = Path(__file__).resolve().parent.parent
