@@ -27,6 +27,7 @@ from gnuais_tpu.constants import MAX_AIS_PACKET_TYPE
 class DecodedMessage:
     type: int
     mmsi: int
+    chanid: str               # receiving channel ("A"/"B")
     stdout_line: str          # full line as printed by the reference
     nmea_sentences: List[str]  # all sentences incl. leading '!'
     events: List[parser_mod.Event]
@@ -82,6 +83,7 @@ class ChannelDispatcher:
         return DecodedMessage(
             type=msg_type,
             mmsi=mmsi,
+            chanid=self.chanid,
             stdout_line=stdout_line,
             nmea_sentences=sentences,
             events=parsed.events if parsed else [],

@@ -1,0 +1,196 @@
+"""Command-line interface.
+
+``gnuais-tpu`` mirrors the reference CLI surface (cfg.c:426-485):
+
+    gnuais-tpu [-c cfgfile] [-l <inputsoundfile>] [-s <recordsoundfile>]
+               [-e <loglevel>] [-n <logname>] [-h]
+
+plus TPU-era conveniences: ``--streams``, ``--backend``, ``--bench``.
+Decodes the capture through the configured backend, emitting message
+lines to stdout, NMEA to the Unix socket (and serial/DB if configured),
+and JSON-AIS uplink export on the configured interval.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+import time as time_mod
+from typing import List, Optional
+
+import numpy as np
+
+from gnuais_tpu import constants as C
+from gnuais_tpu.ais.dispatcher import DecodedMessage
+from gnuais_tpu.config import Config, read_config
+from gnuais_tpu.io import audio as audio_io
+from gnuais_tpu.io.cache import JsonExporter, VesselCache
+from gnuais_tpu.io.db import DbWriter
+from gnuais_tpu.io.sinks import NmeaSocketServer, SerialSink, StdoutSink
+from gnuais_tpu.runtime.metrics import LevelMonitor, RangeTracker
+from gnuais_tpu.runtime.session import DecodeSession
+
+log = logging.getLogger("gnuais")
+
+LOG_LEVELS = {"emerg": logging.CRITICAL, "alert": logging.CRITICAL,
+              "crit": logging.CRITICAL, "err": logging.ERROR,
+              "warning": logging.WARNING, "notice": logging.INFO,
+              "info": logging.INFO, "debug": logging.DEBUG}
+
+
+def make_receiver_factory(cfg: Config):
+    if cfg.backend == "golden":
+        from gnuais_tpu.golden.model import GoldenReceiver
+        return lambda name: GoldenReceiver(name)
+    if cfg.backend in ("exact", "fast"):
+        from gnuais_tpu.runtime.pipeline import JaxReceiver
+        block = audio_io.reference_block_frames()
+        return lambda name: JaxReceiver(name, block_len=block,
+                                        frame_slots=cfg.frameslots)
+    raise SystemExit(f"unknown backend: {cfg.backend}")
+
+
+def run_decode(cfg: Config, out_stream=None) -> int:
+    if not cfg.sound_in_file:
+        log.critical("Neither sound device or sound file configured.")
+        return 1
+
+    try:
+        interleaved, nch = audio_io.load_capture(
+            cfg.sound_in_file,
+            channels=1 if cfg.sound_channels == C.SOUND_CHANNELS_MONO else 2)
+    except OSError as e:
+        log.critical("Could not open sound file %s: %s",
+                     cfg.sound_in_file, e.strerror or e)
+        return 1
+
+    stdout_sink = StdoutSink(out_stream)
+    socket_srv: Optional[NmeaSocketServer] = None
+    try:
+        socket_srv = NmeaSocketServer()
+    except OSError as e:
+        log.error("Could not open Unix Domain Socket: %s", e)
+    serial_sink = SerialSink(cfg.serial_port) if cfg.serial_port else None
+    db = DbWriter(cfg.db_path, keepsmall=cfg.mysql_keepsmall,
+                  oldlimit=cfg.mysql_oldlimit) if cfg.db_path else None
+
+    cache = VesselCache() if cfg.uplinks else None
+    exporter = None
+    if cache:
+        exporter = JsonExporter(cache, [u.url for u in cfg.uplinks],
+                                cfg.mycall)
+        exporter.start()
+
+    ranges = {}
+    mylat = cfg.mylat if cfg.have_my_loc else None
+    mylng = cfg.mylng if cfg.have_my_loc else None
+
+    def on_message(msg: DecodedMessage) -> None:
+        now = int(time_mod.time())
+        if msg.stdout_line:
+            stdout_sink.write_line(msg.stdout_line)
+        for s in msg.nmea_sentences:
+            if socket_srv:
+                socket_srv.write(s)
+            if serial_sink:
+                serial_sink.write(s)
+            if db:
+                db.nmea(now, s)
+        for ev in msg.events:
+            if cache:
+                cache.apply_event(ev, now)
+            if db:
+                db.apply_event(ev, now)
+            if ev.kind in ("position", "basestation"):
+                rt = ranges.get(msg.chanid)
+                if rt:
+                    rt.update(ev.data["lat"], ev.data["lon"])
+
+    sess = DecodeSession(make_receiver_factory(cfg),
+                         sound_channels=cfg.sound_channels,
+                         skip_type=cfg.skip_type,
+                         message_callback=on_message)
+    for name in ("A", "B"):
+        ranges[name] = RangeTracker(name, mylat, mylng)
+
+    tee = open(cfg.sound_out_file, "wb") if cfg.sound_out_file else None
+    t0 = time_mod.time()
+    from gnuais_tpu.runtime.session import SessionResult
+    result = SessionResult()
+    last_stats = time_mod.time()
+    nchs = sess.nch
+    for block in audio_io.iter_blocks(interleaved, nchs):
+        if tee:
+            tee.write(np.asarray(block, dtype="<i2").tobytes())
+        sess.process_block(block, result)
+        if cfg.stats_interval:
+            now = time_mod.time()
+            if now - last_stats >= cfg.stats_interval:
+                last_stats = now
+                for rt in ranges.values():
+                    rt.log_and_reset()
+    dt = time_mod.time() - t0
+
+    if tee:
+        tee.close()
+    if exporter:
+        exporter.export_once()
+        exporter.stop()
+    if socket_srv:
+        socket_srv.close()
+    if serial_sink:
+        serial_sink.close()
+
+    for name, rx in (("A", sess.rx_a), ("B", sess.rx_b)):
+        if rx is not None and hasattr(rx, "counters"):
+            r, l, l2 = rx.counters
+            log.info("%s: Received correctly: %d packets, "
+                     "wrong CRC: %d packets, wrong size: %d packets",
+                     name, r, l, l2)
+    n_samples = len(interleaved) // max(1, sess.nch)
+    log.info("Processed %d samples in %.2fs (%.0fx real time)",
+             n_samples, dt, n_samples / 48000.0 / dt if dt else 0)
+    return 0
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    p = argparse.ArgumentParser(
+        prog="gnuais-tpu",
+        description="TPU-native AIS receiver (gnuais capability surface)")
+    p.add_argument("-c", dest="cfgfile", help="configuration file")
+    p.add_argument("-l", dest="soundinfile", help="input capture (raw S16/WAV)")
+    p.add_argument("-s", dest="soundoutfile", help="record input to file")
+    p.add_argument("-n", dest="logname", default="gnuais")
+    p.add_argument("-e", dest="loglevel", default="info",
+                   choices=sorted(LOG_LEVELS))
+    p.add_argument("-o", dest="logdest", default="stderr")
+    p.add_argument("-r", dest="logdir")
+    p.add_argument("-f", dest="fork", action="store_true",
+                   help="(accepted for compatibility; no daemon mode)")
+    p.add_argument("--streams", type=int, help="TPU: batch stream count")
+    p.add_argument("--backend", choices=["exact", "fast", "golden"])
+    args = p.parse_args(argv)
+
+    logging.basicConfig(
+        stream=sys.stderr, level=LOG_LEVELS[args.loglevel],
+        format="%(asctime)s " + args.logname + "[%(process)d]: %(message)s")
+
+    cfg = Config()
+    if args.cfgfile:
+        cfg = read_config(args.cfgfile, cfg)
+    if args.soundinfile:
+        cfg.sound_in_file = args.soundinfile
+        cfg.sound_device = None
+    if args.soundoutfile:
+        cfg.sound_out_file = args.soundoutfile
+    if args.streams:
+        cfg.streams = args.streams
+    if args.backend:
+        cfg.backend = args.backend
+
+    return run_decode(cfg)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
