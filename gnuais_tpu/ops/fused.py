@@ -1,0 +1,192 @@
+"""Pallas TPU kernels: the throughput path.
+
+The exact XLA `lax.scan` DPLL pays per-step dispatch overhead; this
+kernel runs the same integer recurrence as an in-VMEM `fori_loop` over
+``[8, 128]`` stream tiles (streams on VPU lanes, time sequential in
+registers), streaming sample chunks HBM->VMEM via the grid.  Semantics
+are bit-identical to ops.demod.dpll_scan.
+
+Layout: filtered samples are transposed to ``[T, 8, 128]`` (time-major
+tiles); S is padded to 1024 lanes.  Output is an int32 tile stream
+encoding ``2*valid + bit``; the existing compaction + HDLC scan
+consumes it unchanged.
+
+See /opt/skills/guides/pallas_guide.md for the kernel idioms used here
+(grid streaming, scratch persistence across grid steps, pl.when).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gnuais_tpu import constants as C
+from gnuais_tpu.ops.demod import DpllState
+
+LANES = 128
+SUBLANES = 8
+TILE_STREAMS = LANES * SUBLANES     # 1024 streams per kernel call
+
+
+def _dpll_kernel(nvalid_ref, x_ref, pll_in, prev_in, last_in,
+                 bits_ref, pll_out, prev_out, last_out, state):
+    """One grid step: TC time-tiles of [8, 128] streams.
+
+    state: VMEM scratch [3, 8, 128] int32 persisting across grid steps
+    (TPU grid iterations run sequentially on the core).
+    """
+    tc = x_ref.shape[0]
+    chunk = pl.program_id(0)
+
+    @pl.when(chunk == 0)
+    def _():
+        state[0] = pll_in[:]
+        state[1] = prev_in[:]
+        state[2] = last_in[:]
+
+    n_valid = nvalid_ref[0]
+
+    # Process UNROLL time steps per loop iteration: one [UNROLL, 8, 128]
+    # VMEM load and one store amortize the dynamic-index overhead that
+    # dominates a step-at-a-time loop; the recurrence itself runs on
+    # register tiles between them.
+    unroll = 16
+
+    def body(u, _):
+        base = u * unroll
+        x8 = x_ref[pl.ds(base, unroll)]            # [UNROLL, 8, 128]
+        pll = state[0]
+        prev = state[1]
+        lastbit = state[2]
+        outs = []
+        for k in range(unroll):
+            curr = (x8[k] > 0.0).astype(jnp.int32)
+            trans = curr != prev
+            nudge = jnp.where(pll < C.PLL_CENTER, C.PLL_NUDGE, -C.PLL_NUDGE)
+            pll_adv = pll + jnp.where(trans, nudge, 0) + C.PLL_INC
+            emit = pll_adv > 0xFFFF
+            bit = 1 - (curr ^ lastbit)
+            valid = (chunk * tc + base + k) < n_valid
+            outs.append(jnp.where(emit & valid, 2 + bit, 0))
+            pll_next = jnp.where(emit, pll_adv & 0xFFFF, pll_adv)
+            last_next = jnp.where(emit, curr, lastbit)
+            pll = jnp.where(valid, pll_next, pll)
+            prev = jnp.where(valid, curr, prev)
+            lastbit = jnp.where(valid, last_next, lastbit)
+        bits_ref[pl.ds(base, unroll)] = jnp.stack(outs)
+        state[0] = pll
+        state[1] = prev
+        state[2] = lastbit
+        return 0
+
+    jax.lax.fori_loop(0, tc // unroll, body, 0)
+
+    @pl.when(chunk == pl.num_programs(0) - 1)
+    def _():
+        pll_out[:] = state[0]
+        prev_out[:] = state[1]
+        last_out[:] = state[2]
+
+
+def dpll_pallas_tiles(filtered_tiles: jax.Array, n_valid: jax.Array,
+                      pll: jax.Array, prev: jax.Array, lastbit: jax.Array,
+                      time_chunk: int = 512, interpret: bool = False):
+    """Run the DPLL kernel on pre-tiled input.
+
+    filtered_tiles: float32 [T, 8, 128] with T a multiple of time_chunk.
+    State tiles: int32 [8, 128].  Returns (bits [T, 8, 128] int32 coded
+    2*valid+bit, new state tiles).
+    """
+    t = filtered_tiles.shape[0]
+    assert t % time_chunk == 0, (t, time_chunk)
+    grid = (t // time_chunk,)
+
+    kernel = pl.pallas_call(
+        _dpll_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((time_chunk, SUBLANES, LANES),
+                             lambda i, nv: (i, 0, 0)),
+                pl.BlockSpec((SUBLANES, LANES), lambda i, nv: (0, 0)),
+                pl.BlockSpec((SUBLANES, LANES), lambda i, nv: (0, 0)),
+                pl.BlockSpec((SUBLANES, LANES), lambda i, nv: (0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((time_chunk, SUBLANES, LANES),
+                             lambda i, nv: (i, 0, 0)),
+                pl.BlockSpec((SUBLANES, LANES), lambda i, nv: (0, 0)),
+                pl.BlockSpec((SUBLANES, LANES), lambda i, nv: (0, 0)),
+                pl.BlockSpec((SUBLANES, LANES), lambda i, nv: (0, 0)),
+            ],
+            scratch_shapes=[pltpu.VMEM((3, SUBLANES, LANES), jnp.int32)],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((t, SUBLANES, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((SUBLANES, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((SUBLANES, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((SUBLANES, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+    )
+    nv = jnp.asarray([n_valid], dtype=jnp.int32)
+    bits, pll2, prev2, last2 = kernel(nv, filtered_tiles, pll, prev, lastbit)
+    return bits, pll2, prev2, last2
+
+
+def _to_tiles(x: jax.Array) -> Tuple[jax.Array, int]:
+    """[S, T] -> [T, 8, 128] float32 tiles (S padded to 1024)."""
+    s, t = x.shape
+    assert s <= TILE_STREAMS, "grid over stream tiles handled by caller"
+    pad = TILE_STREAMS - s
+    xp = jnp.pad(x.astype(jnp.float32), ((0, pad), (0, 0)))
+    return xp.T.reshape(t, SUBLANES, LANES), pad
+
+
+def _state_to_tiles(v: jax.Array) -> jax.Array:
+    s = v.shape[0]
+    vp = jnp.pad(v, (0, TILE_STREAMS - s))
+    return vp.reshape(SUBLANES, LANES)
+
+
+def _tiles_to_state(tile: jax.Array, s: int) -> jax.Array:
+    return tile.reshape(TILE_STREAMS)[:s]
+
+
+def dpll_fused(filtered: jax.Array, n_valid: jax.Array, state: DpllState,
+               time_chunk: int = 512, interpret: bool | None = None
+               ) -> Tuple[jax.Array, jax.Array, DpllState]:
+    """Drop-in fast replacement for ops.demod.dpll_scan.
+
+    filtered: [S, T] float32 with S <= 1024 and T a multiple of
+    time_chunk.  Returns (bit_valid [S, T] bool, bits [S, T] int32,
+    new state).
+    """
+    if interpret is None:
+        # Mosaic kernels need a TPU; anywhere else (CPU tests, virtual
+        # meshes) the interpreter provides identical semantics.
+        interpret = jax.default_backend() != "tpu"
+    s, t = filtered.shape
+    tiles, _pad = _to_tiles(filtered)
+    bits_t, pll2, prev2, last2 = dpll_pallas_tiles(
+        tiles, n_valid,
+        _state_to_tiles(state.pll),
+        _state_to_tiles(state.prev),
+        _state_to_tiles(state.lastbit),
+        time_chunk=time_chunk, interpret=interpret)
+    coded = bits_t.reshape(t, TILE_STREAMS)[:, :s].T    # [S, T]
+    bit_valid = coded >= 2
+    bits = coded & 1
+    new_state = DpllState(
+        pll=_tiles_to_state(pll2, s),
+        prev=_tiles_to_state(prev2, s),
+        lastbit=_tiles_to_state(last2, s),
+    )
+    return bit_valid, bits, new_state

@@ -43,20 +43,31 @@ def init_dpll(n_streams: int):
     return demod.init_dpll(n_streams)
 
 
-@functools.partial(jax.jit, static_argnames=("frame_slots", "exact_fir"))
+@functools.partial(jax.jit,
+                   static_argnames=("frame_slots", "exact_fir", "fast_dpll"))
 def decode_block(samples: jax.Array, n_valid: jax.Array,
                  carry: PipelineCarry, frame_slots: int = 32,
-                 exact_fir: bool = True
+                 exact_fir: bool = True, fast_dpll: bool = False
                  ) -> Tuple[PipelineCarry, demod.FrameBatch, jax.Array]:
     """samples: int16 [S, T]; n_valid: scalar int32 (samples actually
     present — short final blocks are padded to T).  Returns
-    (carry', frames, peak [S])."""
+    (carry', frames, peak [S]).
+
+    fast_dpll selects the Pallas clock-recovery kernel (bit-identical
+    semantics, no per-step scan overhead); requires T to be a multiple
+    of 512 and S <= 1024 per call.
+    """
     t = samples.shape[1]
     sample_valid = jnp.arange(t) < n_valid
     fir_fn = fir.fir_exact if exact_fir else fir.fir_conv
     filtered, history = fir_fn(samples, carry.history, n_valid=n_valid)
-    bit_valid, bits, dpll_state = demod.dpll_scan(filtered, sample_valid,
-                                                  carry.dpll)
+    if fast_dpll:
+        from gnuais_tpu.ops.fused import dpll_fused
+        bit_valid, bits, dpll_state = dpll_fused(filtered, n_valid,
+                                                 carry.dpll)
+    else:
+        bit_valid, bits, dpll_state = demod.dpll_scan(filtered, sample_valid,
+                                                      carry.dpll)
     max_bits = t // C.SAMPLES_PER_BIT + 2
     bitrows, slot_valid, _ = demod.compact_bits(bit_valid, bits, max_bits)
     frames0 = demod.init_frames(samples.shape[0], frame_slots)
@@ -108,11 +119,16 @@ class BatchPipeline:
     """Streaming decoder for S independent streams with carried state."""
 
     def __init__(self, n_streams: int, block_len: int = 49_152,
-                 frame_slots: int = 32, exact_fir: bool = True):
+                 frame_slots: int = 32, exact_fir: bool = True,
+                 fast_dpll: bool = False):
+        if fast_dpll:
+            assert block_len % 512 == 0 and n_streams <= 1024, \
+                "fast path: block_len % 512 == 0, <= 1024 streams/call"
         self.n_streams = n_streams
         self.block_len = block_len
         self.frame_slots = frame_slots
         self.exact_fir = exact_fir
+        self.fast_dpll = fast_dpll
         self.carry = init_carry(n_streams)
         self.counters = [StreamCounters() for _ in range(n_streams)]
 
@@ -125,7 +141,8 @@ class BatchPipeline:
             samples = np.pad(samples, ((0, 0), (0, self.block_len - n)))
         self.carry, frames, _peak = decode_block(
             jnp.asarray(samples), jnp.int32(n), self.carry,
-            frame_slots=self.frame_slots, exact_fir=self.exact_fir)
+            frame_slots=self.frame_slots, exact_fir=self.exact_fir,
+            fast_dpll=self.fast_dpll)
         per_stream = extract_frames(frames)
         lost2 = np.asarray(frames.lost2)
         dropped = np.asarray(frames.dropped)
