@@ -80,18 +80,28 @@ def dpll_scan(filtered: jax.Array, sample_valid: jax.Array,
 
 
 def compact_bits(bit_valid: jax.Array, bits: jax.Array,
-                 max_bits: int) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Pack emitted bits densely: returns (bitrows [S, max_bits] int32,
-    slot_valid [S, max_bits] bool, nbits [S])."""
-    s = bits.shape[0]
+                 max_bits: int, block_base: jax.Array | int = 0
+                 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Pack emitted bits densely.
+
+    Returns (bitrows [S, max_bits] int32, slot_valid [S, max_bits] bool,
+    nbits [S], pos_rows [S, max_bits] int32) where pos_rows carries each
+    bit's absolute sample index (block_base + in-block time) — the
+    coordinate used for frame-start dedup in time-parallel decode.
+    """
+    s, t = bits.shape
     pos = jnp.cumsum(bit_valid.astype(jnp.int32), axis=1) - 1
     pos = jnp.where(bit_valid, pos, max_bits)    # dropped by "drop" mode
     rows = jnp.broadcast_to(jnp.arange(s)[:, None], pos.shape)
     bitrows = jnp.zeros((s, max_bits), dtype=jnp.int32)
     bitrows = bitrows.at[rows, pos].set(bits, mode="drop")
+    sample_idx = jnp.broadcast_to(
+        block_base + jnp.arange(t)[None, :], pos.shape).astype(jnp.int32)
+    pos_rows = jnp.zeros((s, max_bits), dtype=jnp.int32)
+    pos_rows = pos_rows.at[rows, pos].set(sample_idx, mode="drop")
     nbits = jnp.sum(bit_valid, axis=1).astype(jnp.int32)
     slot_valid = jnp.arange(max_bits)[None, :] < nbits[:, None]
-    return bitrows, slot_valid, nbits
+    return bitrows, slot_valid, nbits, pos_rows
 
 
 # ---------------------------------------------------------------------------
@@ -106,6 +116,7 @@ class HdlcState(NamedTuple):
     antallenner: jax.Array    # [S] int32
     bitstuff: jax.Array       # [S] int32
     bufferpos: jax.Array      # [S] int32
+    data_start: jax.Array     # [S] int32 sample index of ST_DATA entry
     shiftreg: jax.Array       # [S, REG_WORDS] uint32, newest bit = LSB of word 14
 
 
@@ -113,6 +124,7 @@ class FrameBatch(NamedTuple):
     """Per-block frame outputs (reset every block)."""
     words: jax.Array     # [S, F, REG_WORDS] uint32 register snapshots
     length: jax.Array    # [S, F] int32 payload bit count (bufferpos - 22)
+    start: jax.Array     # [S, F] int32 sample index of the frame's data start
     count: jax.Array     # [S] int32 frames emitted
     lost2: jax.Array     # [S] int32 bad stop-sign frames (wrong size)
     dropped: jax.Array   # [S] int32 frames lost to slot overflow
@@ -123,7 +135,7 @@ def init_hdlc(n_streams: int) -> HdlcState:
     return HdlcState(
         state=jnp.full((n_streams,), C.ST_SKURR, dtype=jnp.int32),
         last=z, antallpreamble=z, nstartsign=z, antallenner=z,
-        bitstuff=z, bufferpos=z,
+        bitstuff=z, bufferpos=z, data_start=z,
         shiftreg=jnp.zeros((n_streams, REG_WORDS), dtype=jnp.uint32),
     )
 
@@ -133,6 +145,7 @@ def init_frames(n_streams: int, frame_slots: int) -> FrameBatch:
     return FrameBatch(
         words=jnp.zeros((n_streams, frame_slots, REG_WORDS), dtype=jnp.uint32),
         length=jnp.zeros((n_streams, frame_slots), dtype=jnp.int32),
+        start=jnp.zeros((n_streams, frame_slots), dtype=jnp.int32),
         count=z, lost2=z, dropped=z,
     )
 
@@ -147,13 +160,19 @@ def _reg_append(reg: jax.Array, bit: jax.Array) -> jax.Array:
 
 
 def hdlc_scan(bitrows: jax.Array, slot_valid: jax.Array,
-              state: HdlcState, frames: FrameBatch
+              state: HdlcState, frames: FrameBatch,
+              pos_rows: jax.Array | None = None
               ) -> Tuple[HdlcState, FrameBatch]:
     """Run the deframer over dense bit rows.
 
     bitrows/slot_valid: [S, M]; scans M steps, each a vectorized exact
     re-derivation of the reference's per-bit switch (protodec.c:993-1121).
+    pos_rows (optional, [S, M] int32) carries per-bit sample indices so
+    emitted frames record their data-start position (time-parallel
+    dedup coordinate).
     """
+    if pos_rows is None:
+        pos_rows = jnp.zeros_like(bitrows)
     s = bitrows.shape[0]
     frame_slots = frames.words.shape[1]
     rows = jnp.arange(s)
@@ -166,6 +185,7 @@ def hdlc_scan(bitrows: jax.Array, slot_valid: jax.Array,
     frames = FrameBatch(
         words=frames.words + zvary[:, None, None].astype(jnp.uint32),
         length=frames.length + zvary[:, None],
+        start=frames.start + zvary[:, None],
         count=frames.count + zvary,
         lost2=frames.lost2 + zvary,
         dropped=frames.dropped + zvary,
@@ -173,7 +193,7 @@ def hdlc_scan(bitrows: jax.Array, slot_valid: jax.Array,
 
     def step(carry, x):
         st, fo = carry
-        b, valid = x                      # [S] int32, [S] bool
+        b, valid, spos = x                # [S] int32, [S] bool, [S] int32
 
         is_data = st.state == C.ST_DATA
         is_skurr = st.state == C.ST_SKURR
@@ -271,6 +291,8 @@ def hdlc_scan(bitrows: jax.Array, slot_valid: jax.Array,
         def keep(new, old):
             return jnp.where(valid, new, old)
 
+        # record where data started (ST_STARTSIGN -> ST_DATA edge)
+        n_dstart = jnp.where(is_start & t_to_data, spos, st.data_start)
         new_st = HdlcState(
             state=keep(n_state, st.state),
             last=keep(b, st.last),
@@ -279,6 +301,7 @@ def hdlc_scan(bitrows: jax.Array, slot_valid: jax.Array,
             antallenner=keep(n_ae, st.antallenner),
             bitstuff=keep(n_bs, st.bitstuff),
             bufferpos=keep(n_bp, st.bufferpos),
+            data_start=keep(n_dstart, st.data_start),
             shiftreg=jnp.where(valid[:, None], n_reg, st.shiftreg),
         )
 
@@ -288,12 +311,16 @@ def hdlc_scan(bitrows: jax.Array, slot_valid: jax.Array,
         idx = jnp.where(can, fo.count, 0)
         cur_words = fo.words[rows, idx]
         cur_len = fo.length[rows, idx]
+        cur_start = fo.start[rows, idx]
         new_words = fo.words.at[rows, idx].set(
             jnp.where(can[:, None], st.shiftreg, cur_words))
         new_len = fo.length.at[rows, idx].set(jnp.where(can, flen, cur_len))
+        new_start = fo.start.at[rows, idx].set(
+            jnp.where(can, st.data_start, cur_start))
         new_fo = FrameBatch(
             words=new_words,
             length=new_len,
+            start=new_start,
             count=fo.count + can.astype(jnp.int32),
             lost2=fo.lost2 + (is_stop & jnp.logical_not(good) & valid).astype(jnp.int32),
             dropped=fo.dropped + (emit & jnp.logical_not(can)).astype(jnp.int32),
@@ -301,5 +328,5 @@ def hdlc_scan(bitrows: jax.Array, slot_valid: jax.Array,
         return (new_st, new_fo), None
 
     (state, frames), _ = jax.lax.scan(step, (state, frames),
-                                      (bitrows.T, slot_valid.T))
+                                      (bitrows.T, slot_valid.T, pos_rows.T))
     return state, frames

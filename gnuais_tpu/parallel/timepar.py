@@ -1,0 +1,118 @@
+"""Time-parallel decode: sequence parallelism over one long stream.
+
+The DPLL/HDLC recurrence is sequential, but it *forgets*: the DPLL
+re-locks within a few dozen transitions and the deframer re-arms at the
+next preamble, so a decoder cold-started inside an overlap region
+converges to the continuous decoder's trajectory before real frames
+appear.  That turns time into a parallel axis:
+
+    chunk k decodes samples [k*L - O, (k+1)*L + E)
+      O (lead overlap)  >= DPLL lock + max frame, so any frame starting
+                           in the own region is decoded with converged
+                           state;
+      E (tail extension) >= max frame, so frames *starting* near the
+                           chunk end complete inside the window.
+
+    keep a frame iff its data-start sample lies in the own region
+    [k*L, (k+1)*L) — each frame is owned by exactly one chunk, so the
+    union is duplicate-free and ordered by start position.
+
+Chunks run as batch lanes of the existing pipeline (and therefore
+shard over chips with the streams axis): single-stream decode scales
+across a pod slice.  This is the throughput mode; the carry-chained
+pipeline remains the bit-exact reference (used to validate this mode's
+packet parity on every test capture).
+
+Defaults: max AIS frame = (24 preamble + 8 + 449*(1+1/5 stuffing) + 8)
+bits * 5 samples < 3000 samples; DPLL lock < 1000 samples of traffic.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from gnuais_tpu import constants as C
+from gnuais_tpu.golden.model import Frame
+from gnuais_tpu.ops import demod
+from gnuais_tpu.runtime import pipeline as pl
+
+DEFAULT_OVERLAP = 4096      # lead overlap O (samples)
+DEFAULT_EXTENSION = 3072    # tail extension E (samples)
+
+
+@dataclass
+class TimeParallelResult:
+    frames: List[Frame]
+    starts: List[int]            # absolute data-start sample per frame
+    chunks: int
+
+
+def _plan(n: int, chunk_len: int, overlap: int, ext: int) -> int:
+    own = chunk_len
+    return max(1, -(-n // own))
+
+
+def time_parallel_decode(stream: np.ndarray, chunk_len: int = 65_536,
+                         overlap: int = DEFAULT_OVERLAP,
+                         extension: int = DEFAULT_EXTENSION,
+                         frame_slots: int = 64,
+                         fast_dpll: bool = False) -> TimeParallelResult:
+    """Decode one int16 stream with K parallel chunk lanes.
+
+    Returns CRC-passing frames ordered by absolute start position.
+    """
+    n = len(stream)
+    k = _plan(n, chunk_len, overlap, extension)
+    win = overlap + chunk_len + extension
+    if fast_dpll:
+        win = -(-win // 512) * 512
+
+    # gather chunk windows [K, win]; out-of-range -> zeros
+    lanes = np.zeros((k, win), dtype=np.int16)
+    for i in range(k):
+        a = i * chunk_len - overlap
+        b = a + win
+        lo, hi = max(a, 0), min(b, n)
+        if hi > lo:
+            lanes[i, lo - a: hi - a] = stream[lo:hi]
+
+    carry = pl.init_carry(k)
+    carry, frames, _ = pl.decode_block(
+        jnp.asarray(lanes), jnp.int32(win), carry,
+        frame_slots=frame_slots, exact_fir=True, fast_dpll=fast_dpll,
+        block_base=0)
+
+    # drain + own-region filter
+    words = np.asarray(frames.words)
+    length = np.asarray(frames.length)
+    start = np.asarray(frames.start)
+    count = np.asarray(frames.count)
+
+    out: List[Tuple[int, Frame]] = []
+    for i in range(k):
+        own_lo = overlap if i > 0 else 0
+        own_hi = overlap + chunk_len
+        base = i * chunk_len - overlap
+        for f in range(int(count[i])):
+            st = int(start[i, f])
+            if not (own_lo <= st < own_hi):
+                continue
+            flen = int(length[i, f])
+            raw = pl._reg_to_bits(words[i, f], flen + C.FRAME_TAIL_BITS)
+            from gnuais_tpu.golden.model import crc_check_and_extract
+            ok, payload = crc_check_and_extract(raw, flen)
+            if ok:
+                out.append((base + st, Frame(payload, flen, True)))
+
+    out.sort(key=lambda p: p[0])
+    return TimeParallelResult(
+        frames=[f for _, f in out],
+        starts=[s for s, _ in out],
+        chunks=k,
+    )

@@ -47,7 +47,8 @@ def init_dpll(n_streams: int):
                    static_argnames=("frame_slots", "exact_fir", "fast_dpll"))
 def decode_block(samples: jax.Array, n_valid: jax.Array,
                  carry: PipelineCarry, frame_slots: int = 32,
-                 exact_fir: bool = True, fast_dpll: bool = False
+                 exact_fir: bool = True, fast_dpll: bool = False,
+                 block_base: jax.Array | int = 0
                  ) -> Tuple[PipelineCarry, demod.FrameBatch, jax.Array]:
     """samples: int16 [S, T]; n_valid: scalar int32 (samples actually
     present — short final blocks are padded to T).  Returns
@@ -69,10 +70,11 @@ def decode_block(samples: jax.Array, n_valid: jax.Array,
         bit_valid, bits, dpll_state = demod.dpll_scan(filtered, sample_valid,
                                                       carry.dpll)
     max_bits = t // C.SAMPLES_PER_BIT + 2
-    bitrows, slot_valid, _ = demod.compact_bits(bit_valid, bits, max_bits)
+    bitrows, slot_valid, _, pos_rows = demod.compact_bits(
+        bit_valid, bits, max_bits, block_base)
     frames0 = demod.init_frames(samples.shape[0], frame_slots)
     hdlc_state, frames = demod.hdlc_scan(bitrows, slot_valid,
-                                         carry.hdlc, frames0)
+                                         carry.hdlc, frames0, pos_rows)
     peak = fir.block_peak(samples)
     return PipelineCarry(history, dpll_state, hdlc_state), frames, peak
 
