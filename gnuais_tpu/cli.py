@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 import sys
 import time as time_mod
 from typing import List, Optional
@@ -56,10 +57,22 @@ def run_decode(cfg: Config, out_stream=None) -> int:
         log.critical("Neither sound device or sound file configured.")
         return 1
 
+    nch_cfg = 1 if cfg.sound_channels == C.SOUND_CHANNELS_MONO else 2
+    live = None
+    interleaved = None
+    import stat as stat_mod
+    src = cfg.sound_in_file
     try:
-        interleaved, nch = audio_io.load_capture(
-            cfg.sound_in_file,
-            channels=1 if cfg.sound_channels == C.SOUND_CHANNELS_MONO else 2)
+        is_stream = src == "-" or (
+            os.path.exists(src)
+            and not stat_mod.S_ISREG(os.stat(src).st_mode))
+        if is_stream:
+            from gnuais_tpu.io.live import LiveInput
+            live = LiveInput(src, channels=nch_cfg)
+            log.info("Reading live audio from stream: %s", src)
+        else:
+            interleaved, nch = audio_io.load_capture(src, channels=nch_cfg)
+            log.info("Reading audio from file: %s", src)
     except OSError as e:
         log.critical("Could not open sound file %s: %s",
                      cfg.sound_in_file, e.strerror or e)
@@ -120,7 +133,13 @@ def run_decode(cfg: Config, out_stream=None) -> int:
     result = SessionResult()
     last_stats = time_mod.time()
     nchs = sess.nch
-    for block in audio_io.iter_blocks(interleaved, nchs):
+    if live is not None:
+        block_iter = live.blocks()
+    else:
+        block_iter = audio_io.iter_blocks(interleaved, nchs)
+    n_samples = 0
+    for block in block_iter:
+        n_samples += len(block) // nchs
         if tee:
             tee.write(np.asarray(block, dtype="<i2").tobytes())
         sess.process_block(block, result)
@@ -131,6 +150,8 @@ def run_decode(cfg: Config, out_stream=None) -> int:
                 for rt in ranges.values():
                     rt.log_and_reset()
     dt = time_mod.time() - t0
+    if live is not None:
+        live.close()
 
     if tee:
         tee.close()
@@ -148,7 +169,6 @@ def run_decode(cfg: Config, out_stream=None) -> int:
             log.info("%s: Received correctly: %d packets, "
                      "wrong CRC: %d packets, wrong size: %d packets",
                      name, r, l, l2)
-    n_samples = len(interleaved) // max(1, sess.nch)
     log.info("Processed %d samples in %.2fs (%.0fx real time)",
              n_samples, dt, n_samples / 48000.0 / dt if dt else 0)
     return 0
@@ -167,14 +187,31 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("-o", dest="logdest", default="stderr")
     p.add_argument("-r", dest="logdir")
     p.add_argument("-f", dest="fork", action="store_true",
-                   help="(accepted for compatibility; no daemon mode)")
+                   help="fork to background (writes pidfile)")
+    p.add_argument("--pidfile", default=None)
     p.add_argument("--streams", type=int, help="TPU: batch stream count")
     p.add_argument("--backend", choices=["exact", "fast", "golden"])
+    p.add_argument("--monitor", action="store_true",
+                   help="run the live ship monitor (NMEA socket consumer)")
     args = p.parse_args(argv)
 
-    logging.basicConfig(
-        stream=sys.stderr, level=LOG_LEVELS[args.loglevel],
-        format="%(asctime)s " + args.logname + "[%(process)d]: %(message)s")
+    fmt = "%(asctime)s " + args.logname + "[%(process)d]: %(message)s"
+    if args.logdest == "file" and args.logdir:
+        logging.basicConfig(
+            filename=os.path.join(args.logdir, args.logname + ".log"),
+            level=LOG_LEVELS[args.loglevel], format=fmt)
+    else:
+        logging.basicConfig(stream=sys.stderr,
+                            level=LOG_LEVELS[args.loglevel], format=fmt)
+
+    if args.monitor:
+        from gnuais_tpu.monitor.ships import monitor_socket
+        monitor_socket()
+        return 0
+
+    if args.fork:
+        from gnuais_tpu.io.live import daemonize
+        daemonize(args.pidfile)
 
     cfg = Config()
     if args.cfgfile:
