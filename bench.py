@@ -52,6 +52,20 @@ def build_batch(n_streams: int, block_len: int, frames_per_stream: int = 4):
     return batch, len(payloads)
 
 
+def _enable_compile_cache():
+    import os
+
+    import jax
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
+
 def run_bench(n_streams: int = 256, block_len: int = 49_152,
               iters: int = 10, fast: bool = True,
               frames_per_stream: int = 4):
@@ -59,6 +73,8 @@ def run_bench(n_streams: int = 256, block_len: int = 49_152,
     import jax.numpy as jnp
 
     from gnuais_tpu.runtime import pipeline as pl
+
+    _enable_compile_cache()
 
     on_tpu = jax.default_backend() == "tpu"
     fast = fast and on_tpu
@@ -92,6 +108,7 @@ def run_bench(n_streams: int = 256, block_len: int = 49_152,
 
 def main() -> int:
     configs = [
+        dict(n_streams=1024, block_len=49_152, iters=10),
         dict(n_streams=256, block_len=49_152, iters=10),
         dict(n_streams=64, block_len=12_288, iters=5),
         dict(n_streams=8, block_len=8_192, iters=3,

@@ -104,6 +104,34 @@ def compact_bits(bit_valid: jax.Array, bits: jax.Array,
     return bitrows, slot_valid, nbits, pos_rows
 
 
+def group_reduce_bits(bit_valid: jax.Array, bits: jax.Array,
+                      block_base: jax.Array | int = 0
+                      ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Scatter-free bit slotting: reduce 4-sample groups.
+
+    Consecutive DPLL emissions are at least 4 samples apart: the phase
+    step is at most 13107+819=13926/sample, a post-wrap phase is at most
+    13925, and 13925 + 3*13926 = 55703 < 65536 — so no emission can
+    occur within 3 samples of the previous one, hence every aligned
+    4-sample group holds at most one emitted bit.  A reshape+reduce
+    replaces the giant compaction scatter; the deframer consumes the
+    ~20% empty slots through its validity mask.
+
+    Returns (gbits [S, T/4] int32, gvalid [S, T/4] bool,
+    gpos [S, T/4] int32 absolute sample indices).
+    """
+    s, t = bits.shape
+    assert t % 4 == 0, t
+    g = t // 4
+    e = bit_valid.reshape(s, g, 4)
+    b = bits.reshape(s, g, 4)
+    gvalid = jnp.any(e, axis=2)
+    gbits = jnp.sum(b * e, axis=2).astype(jnp.int32)
+    idx = (block_base + jnp.arange(t)).reshape(1, g, 4)
+    gpos = jnp.sum(idx * e, axis=2).astype(jnp.int32)
+    return gbits, gvalid, gpos
+
+
 # ---------------------------------------------------------------------------
 # HDLC
 # ---------------------------------------------------------------------------
@@ -159,13 +187,25 @@ def _reg_append(reg: jax.Array, bit: jax.Array) -> jax.Array:
     return hi | carry_in
 
 
+# Frame completions are at least ~47 bit-slots apart (a new frame needs
+# >14 hunt alternations + start flag + >22 data bits before its stop
+# flag), so a 64-slot chunk holds at most MINI_SLOTS completions.  The
+# scan nests: inner 64-step scan carries only a MINI_SLOTS-deep frame
+# buffer (updated elementwise, no gather/scatter), the outer scan emits
+# one mini-buffer per chunk, and a single post-pass compacts candidates
+# into the FrameBatch slots.  This removes the per-step [S, F, 15]
+# snapshot traffic that dominated the naive formulation.
+HDLC_CHUNK = 64
+MINI_SLOTS = 2
+
+
 def hdlc_scan(bitrows: jax.Array, slot_valid: jax.Array,
               state: HdlcState, frames: FrameBatch,
               pos_rows: jax.Array | None = None
               ) -> Tuple[HdlcState, FrameBatch]:
     """Run the deframer over dense bit rows.
 
-    bitrows/slot_valid: [S, M]; scans M steps, each a vectorized exact
+    bitrows/slot_valid: [S, M]; M steps, each a vectorized exact
     re-derivation of the reference's per-bit switch (protodec.c:993-1121).
     pos_rows (optional, [S, M] int32) carries per-bit sample indices so
     emitted frames record their data-start position (time-parallel
@@ -173,26 +213,28 @@ def hdlc_scan(bitrows: jax.Array, slot_valid: jax.Array,
     """
     if pos_rows is None:
         pos_rows = jnp.zeros_like(bitrows)
-    s = bitrows.shape[0]
+    s, m = bitrows.shape
     frame_slots = frames.words.shape[1]
     rows = jnp.arange(s)
 
-    # Under shard_map the decoder state is device-varying while a fresh
-    # FrameBatch is replicated; mixing them in one scan carry is a type
-    # error.  Derive zero-valued varying terms from the state so the
-    # initial carry has uniform vma in both sharded and unsharded use.
+    # pad the slot axis to a chunk multiple with invalid slots
+    if m % HDLC_CHUNK:
+        pad = HDLC_CHUNK - m % HDLC_CHUNK
+        bitrows = jnp.pad(bitrows, ((0, 0), (0, pad)))
+        slot_valid = jnp.pad(slot_valid, ((0, 0), (0, pad)))
+        pos_rows = jnp.pad(pos_rows, ((0, 0), (0, pad)))
+        m += pad
+    n_chunks = m // HDLC_CHUNK
+
+    # Under shard_map the decoder state is device-varying while fresh
+    # accumulators are replicated; mixing them in one scan carry is a
+    # type error.  Derive zero-valued varying terms from the state so
+    # the initial carry has uniform vma in both sharded and unsharded
+    # use.
     zvary = (state.bufferpos * 0).astype(jnp.int32)          # [S]
-    frames = FrameBatch(
-        words=frames.words + zvary[:, None, None].astype(jnp.uint32),
-        length=frames.length + zvary[:, None],
-        start=frames.start + zvary[:, None],
-        count=frames.count + zvary,
-        lost2=frames.lost2 + zvary,
-        dropped=frames.dropped + zvary,
-    )
 
     def step(carry, x):
-        st, fo = carry
+        st, mini = carry
         b, valid, spos = x                # [S] int32, [S] bool, [S] int32
 
         is_data = st.state == C.ST_DATA
@@ -305,28 +347,77 @@ def hdlc_scan(bitrows: jax.Array, slot_valid: jax.Array,
             shiftreg=jnp.where(valid[:, None], n_reg, st.shiftreg),
         )
 
-        # ---- frame emission ------------------------------------------
+        # ---- frame emission into the chunk mini-buffer ---------------
+        # Elementwise slot selection (no scatter): completions within a
+        # chunk are < MINI_SLOTS by the spacing argument above.
+        words_m, flen_m, start_m, cnt_m, lost2_m, over_m = mini
         emit = is_stop & good & valid
-        can = emit & (fo.count < frame_slots)
-        idx = jnp.where(can, fo.count, 0)
-        cur_words = fo.words[rows, idx]
-        cur_len = fo.length[rows, idx]
-        cur_start = fo.start[rows, idx]
-        new_words = fo.words.at[rows, idx].set(
-            jnp.where(can[:, None], st.shiftreg, cur_words))
-        new_len = fo.length.at[rows, idx].set(jnp.where(can, flen, cur_len))
-        new_start = fo.start.at[rows, idx].set(
-            jnp.where(can, st.data_start, cur_start))
-        new_fo = FrameBatch(
-            words=new_words,
-            length=new_len,
-            start=new_start,
-            count=fo.count + can.astype(jnp.int32),
-            lost2=fo.lost2 + (is_stop & jnp.logical_not(good) & valid).astype(jnp.int32),
-            dropped=fo.dropped + (emit & jnp.logical_not(can)).astype(jnp.int32),
-        )
-        return (new_st, new_fo), None
+        sel = (jnp.arange(MINI_SLOTS)[None, :] == cnt_m[:, None]) & \
+            emit[:, None]                                   # [S, MINI]
+        words_m = jnp.where(sel[:, :, None], st.shiftreg[:, None, :],
+                            words_m)
+        flen_m = jnp.where(sel, flen[:, None], flen_m)
+        start_m = jnp.where(sel, st.data_start[:, None], start_m)
+        cnt_m = cnt_m + emit.astype(jnp.int32)
+        lost2_m = lost2_m + (is_stop & jnp.logical_not(good) & valid
+                             ).astype(jnp.int32)
+        over_m = over_m + (emit & (cnt_m > MINI_SLOTS)).astype(jnp.int32)
+        return (new_st, (words_m, flen_m, start_m, cnt_m, lost2_m,
+                         over_m)), None
 
-    (state, frames), _ = jax.lax.scan(step, (state, frames),
-                                      (bitrows.T, slot_valid.T, pos_rows.T))
+    def chunk_body(st, xs):
+        bits_c, valid_c, pos_c = xs
+        mini0 = (
+            jnp.zeros((s, MINI_SLOTS, REG_WORDS), dtype=jnp.uint32)
+            + zvary[:, None, None].astype(jnp.uint32),
+            jnp.zeros((s, MINI_SLOTS), dtype=jnp.int32) + zvary[:, None],
+            jnp.zeros((s, MINI_SLOTS), dtype=jnp.int32) + zvary[:, None],
+            zvary,
+            zvary,
+            zvary,
+        )
+        (st, mini), _ = jax.lax.scan(step, (st, mini0),
+                                     (bits_c, valid_c, pos_c))
+        return st, mini
+
+    # xs: [n_chunks, HDLC_CHUNK, S]
+    def chunked(a):
+        return a.T.reshape(n_chunks, HDLC_CHUNK, s)
+
+    state, minis = jax.lax.scan(
+        chunk_body, state,
+        (chunked(bitrows), chunked(slot_valid), chunked(pos_rows)))
+    words_c, flen_c, start_c, cnt_c, lost2_c, over_c = minis
+
+    # ---- compact chunk candidates into FrameBatch slots -------------
+    # candidates in (chunk, mini-slot) order = arrival order
+    k = n_chunks * MINI_SLOTS
+    cand_valid = (jnp.arange(MINI_SLOTS)[None, None, :]
+                  < cnt_c.transpose(1, 0)[:, :, None])       # [S, nc, MINI]
+    cand_valid = cand_valid.reshape(s, k)
+    cw = words_c.transpose(1, 0, 2, 3).reshape(s, k, REG_WORDS)
+    cl = flen_c.transpose(1, 0, 2).reshape(s, k)
+    cs = start_c.transpose(1, 0, 2).reshape(s, k)
+
+    dst = jnp.cumsum(cand_valid.astype(jnp.int32), axis=1) - 1 \
+        + frames.count[:, None]
+    overflow = cand_valid & (dst >= frame_slots)
+    dst = jnp.where(cand_valid & jnp.logical_not(overflow), dst,
+                    frame_slots)                             # drop mode
+    rows2 = jnp.broadcast_to(rows[:, None], (s, k))
+    new_words = frames.words.at[rows2, dst].set(cw, mode="drop")
+    new_len = frames.length.at[rows2, dst].set(cl, mode="drop")
+    new_start = frames.start.at[rows2, dst].set(cs, mode="drop")
+
+    n_new = jnp.sum(cand_valid, axis=1).astype(jnp.int32)
+    n_over = jnp.sum(overflow, axis=1).astype(jnp.int32) + \
+        jnp.sum(over_c, axis=0).astype(jnp.int32)
+    frames = FrameBatch(
+        words=new_words,
+        length=new_len,
+        start=new_start,
+        count=jnp.minimum(frames.count + n_new, frame_slots),
+        lost2=frames.lost2 + jnp.sum(lost2_c, axis=0).astype(jnp.int32),
+        dropped=frames.dropped + n_over,
+    )
     return state, frames

@@ -53,9 +53,8 @@ def make_multichip_step(mesh: Mesh, frame_slots: int = 32,
         t = filtered.shape[1]
         sample_valid = jnp.arange(t) < n_valid
         bit_valid, bits, dpll2 = demod.dpll_scan(filtered, sample_valid, dpll)
-        max_bits = t // 5 + 2
-        bitrows, slot_valid, _, pos_rows = demod.compact_bits(
-            bit_valid, bits, max_bits)
+        bitrows, slot_valid, pos_rows = demod.group_reduce_bits(
+            bit_valid, bits)
         frames0 = demod.init_frames(filtered.shape[0], frame_slots)
         hdlc2, frames = demod.hdlc_scan(bitrows, slot_valid, hdlc, frames0,
                                         pos_rows)

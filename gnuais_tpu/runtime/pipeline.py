@@ -69,9 +69,12 @@ def decode_block(samples: jax.Array, n_valid: jax.Array,
     else:
         bit_valid, bits, dpll_state = demod.dpll_scan(filtered, sample_valid,
                                                       carry.dpll)
-    max_bits = t // C.SAMPLES_PER_BIT + 2
-    bitrows, slot_valid, _, pos_rows = demod.compact_bits(
-        bit_valid, bits, max_bits, block_base)
+    if t % 4:
+        pad = 4 - t % 4
+        bit_valid = jnp.pad(bit_valid, ((0, 0), (0, pad)))
+        bits = jnp.pad(bits, ((0, 0), (0, pad)))
+    bitrows, slot_valid, pos_rows = demod.group_reduce_bits(
+        bit_valid, bits, block_base)
     frames0 = demod.init_frames(samples.shape[0], frame_slots)
     hdlc_state, frames = demod.hdlc_scan(bitrows, slot_valid,
                                          carry.hdlc, frames0, pos_rows)
