@@ -22,6 +22,7 @@ a worker thread, graceful fallback to a smaller config.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -106,18 +107,43 @@ def run_bench(n_streams: int = 256, block_len: int = 49_152,
     return n_streams * block_len / dt
 
 
+CONFIGS = [
+    dict(n_streams=1024, block_len=49_152, iters=10),
+    dict(n_streams=256, block_len=49_152, iters=10),
+    dict(n_streams=64, block_len=12_288, iters=5),
+    dict(n_streams=8, block_len=8_192, iters=3, frames_per_stream=1),
+]
+
+# per-config wall budget: compiles on the TPU tunnel can take minutes,
+# and a wedged tunnel can hang a dispatch forever — each config runs in
+# its own time-boxed subprocess so one stall cannot zero the bench
+PER_CONFIG_TIMEOUT = 900.0
+
+
+def _run_config_subprocess(idx: int) -> float:
+    import subprocess
+    r = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--config", str(idx)],
+        capture_output=True, text=True, timeout=PER_CONFIG_TIMEOUT)
+    for line in r.stdout.splitlines():
+        if line.startswith("SPS "):
+            return float(line.split()[1])
+    raise RuntimeError(
+        f"config {idx} subprocess failed: rc={r.returncode} "
+        f"stderr={r.stderr[-300:]}")
+
+
 def main() -> int:
-    configs = [
-        dict(n_streams=1024, block_len=49_152, iters=10),
-        dict(n_streams=256, block_len=49_152, iters=10),
-        dict(n_streams=64, block_len=12_288, iters=5),
-        dict(n_streams=8, block_len=8_192, iters=3,
-             frames_per_stream=1),
-    ]
+    if len(sys.argv) >= 3 and sys.argv[1] == "--config":
+        # child mode: run one config, print machine-readable result
+        cfg = CONFIGS[int(sys.argv[2])]
+        print(f"SPS {run_bench(**cfg)}")
+        return 0
+
     sps = None
-    for cfg in configs:
+    for idx, cfg in enumerate(CONFIGS):
         try:
-            sps = run_bench(**cfg)
+            sps = _run_config_subprocess(idx)
             break
         except Exception as e:
             print(f"bench config {cfg} failed: {e!r}", file=sys.stderr)

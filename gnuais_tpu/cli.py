@@ -46,9 +46,20 @@ def make_receiver_factory(cfg: Config):
         return lambda name: GoldenReceiver(name)
     if cfg.backend in ("exact", "fast"):
         from gnuais_tpu.runtime.pipeline import JaxReceiver
-        block = audio_io.reference_block_frames()
-        return lambda name: JaxReceiver(name, block_len=block,
-                                        frame_slots=cfg.frameslots)
+        if cfg.backend == "fast":
+            # Pallas clock recovery needs 512-multiple blocks
+            block = 1024
+            fast = True
+        else:
+            block = audio_io.reference_block_frames()
+            fast = False
+        def factory(name):
+            lm = (LevelMonitor(name, cfg.sound_levellog)
+                  if cfg.sound_levellog else None)
+            return JaxReceiver(name, block_len=block,
+                               frame_slots=cfg.frameslots,
+                               fast_dpll=fast, level_monitor=lm)
+        return factory
     raise SystemExit(f"unknown backend: {cfg.backend}")
 
 

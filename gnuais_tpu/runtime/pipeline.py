@@ -167,15 +167,22 @@ class BatchPipeline:
 
 class JaxReceiver:
     """Single-channel adapter with the golden-receiver interface
-    (run_block/counters), for session-level parity testing."""
+    (run_block/counters), for session-level use and parity testing."""
 
     def __init__(self, name: str = "A", block_len: int = 1020,
-                 frame_slots: int = 16):
+                 frame_slots: int = 16, fast_dpll: bool = False,
+                 level_monitor=None):
         self.name = name
         self.pipe = BatchPipeline(1, block_len=block_len,
-                                  frame_slots=frame_slots)
+                                  frame_slots=frame_slots,
+                                  fast_dpll=fast_dpll)
+        self.level_monitor = level_monitor
 
     def run_block(self, samples: np.ndarray) -> List[Frame]:
+        if self.level_monitor is not None:
+            # reference level meter: positive peak of the raw block
+            # (filter.c:117-119, receiver.c:137-147)
+            self.level_monitor.observe(max(0, int(samples.max(initial=0))))
         return self.pipe.process(samples[None, :])[0]
 
     @property
