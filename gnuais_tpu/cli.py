@@ -204,6 +204,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--backend", choices=["exact", "fast", "golden"])
     p.add_argument("--monitor", action="store_true",
                    help="run the live ship monitor (NMEA socket consumer)")
+    p.add_argument("--batch", nargs="+", metavar="CAPTURE",
+                   help="batch-decode N independent capture files")
+    p.add_argument("--replicate", type=int, default=1,
+                   help="tile --batch inputs to this many copies")
     args = p.parse_args(argv)
 
     fmt = "%(asctime)s " + args.logname + "[%(process)d]: %(message)s"
@@ -218,6 +222,21 @@ def main(argv: Optional[List[str]] = None) -> int:
     if args.monitor:
         from gnuais_tpu.monitor.ships import monitor_socket
         monitor_socket()
+        return 0
+
+    if args.batch:
+        from gnuais_tpu.runtime.batch import decode_files
+        res = decode_files(args.batch, replicate=args.replicate,
+                           fast_dpll=(args.backend == "fast"))
+        for line in res.lines:
+            print(line)
+        for name, (r, l, l2) in res.counters.items():
+            log.info("%s: Received correctly: %d packets, wrong CRC: %d "
+                     "packets, wrong size: %d packets", name, r, l, l2)
+        log.info("Batch: %d streams, %.1f Msamples in %.2fs "
+                 "(%.0fx real time)", len(res.counters),
+                 res.samples / 1e6, res.seconds,
+                 res.samples_per_sec / 48000.0)
         return 0
 
     if args.fork:
