@@ -63,6 +63,23 @@ def make_receiver_factory(cfg: Config):
     raise SystemExit(f"unknown backend: {cfg.backend}")
 
 
+def _load_iq_as_audio(path: str, decim: int) -> np.ndarray:
+    """Raw interleaved float32 I,Q -> discriminated int16 audio at
+    48 kHz (BASELINE config 3 front-end)."""
+    import jax.numpy as jnp
+
+    from gnuais_tpu.ops.discriminator import (design_decim_fir, init_iq,
+                                              iq_to_int16_audio)
+    raw = np.fromfile(path, dtype="<f4")
+    n = (len(raw) // 2) * 2
+    iq = (raw[0:n:2] + 1j * raw[1:n:2]).astype(np.complex64)
+    m = (len(iq) // decim) * decim
+    taps = jnp.asarray(design_decim_fir(decim))
+    audio, _ = iq_to_int16_audio(jnp.asarray(iq[None, :m]),
+                                 init_iq(1, 64), taps, decim)
+    return np.asarray(audio)[0]
+
+
 def run_decode(cfg: Config, out_stream=None) -> int:
     if not cfg.sound_in_file:
         log.critical("Neither sound device or sound file configured.")
@@ -74,16 +91,25 @@ def run_decode(cfg: Config, out_stream=None) -> int:
     import stat as stat_mod
     src = cfg.sound_in_file
     try:
-        is_stream = src == "-" or (
-            os.path.exists(src)
-            and not stat_mod.S_ISREG(os.stat(src).st_mode))
-        if is_stream:
-            from gnuais_tpu.io.live import LiveInput
-            live = LiveInput(src, channels=nch_cfg)
-            log.info("Reading live audio from stream: %s", src)
+        if cfg.input_format == "iq":
+            # raw interleaved float32 I,Q at 48 kHz * iq_decim: run the
+            # on-device FM discriminator + decimation front-end, then
+            # decode the resulting audio (mono only)
+            interleaved = _load_iq_as_audio(src, cfg.iq_decim)
+            log.info("Demodulated IQ from file: %s (decim %d)",
+                     src, cfg.iq_decim)
         else:
-            interleaved, nch = audio_io.load_capture(src, channels=nch_cfg)
-            log.info("Reading audio from file: %s", src)
+            is_stream = src == "-" or (
+                os.path.exists(src)
+                and not stat_mod.S_ISREG(os.stat(src).st_mode))
+            if is_stream:
+                from gnuais_tpu.io.live import LiveInput
+                live = LiveInput(src, channels=nch_cfg)
+                log.info("Reading live audio from stream: %s", src)
+            else:
+                interleaved, nch = audio_io.load_capture(src,
+                                                         channels=nch_cfg)
+                log.info("Reading audio from file: %s", src)
     except OSError as e:
         log.critical("Could not open sound file %s: %s",
                      cfg.sound_in_file, e.strerror or e)
@@ -215,6 +241,13 @@ def main(argv: Optional[List[str]] = None) -> int:
         logging.basicConfig(
             filename=os.path.join(args.logdir, args.logname + ".log"),
             level=LOG_LEVELS[args.loglevel], format=fmt)
+    elif args.logdest == "syslog":
+        from logging.handlers import SysLogHandler
+        h = SysLogHandler(address="/dev/log") \
+            if os.path.exists("/dev/log") else logging.StreamHandler()
+        h.setFormatter(logging.Formatter(
+            args.logname + "[%(process)d]: %(message)s"))
+        logging.basicConfig(level=LOG_LEVELS[args.loglevel], handlers=[h])
     else:
         logging.basicConfig(stream=sys.stderr,
                             level=LOG_LEVELS[args.loglevel], format=fmt)

@@ -122,6 +122,7 @@ class Config:
     meshshape: Tuple[int, ...] = ()
     backend: str = "exact"       # exact | fast | golden
     input_format: str = "audio"  # audio | iq
+    iq_decim: int = 4            # IQ input rate = 48 kHz * iq_decim
     db_path: Optional[str] = None  # sqlite sink
 
     @property
@@ -195,6 +196,7 @@ _DIRECTIVES = [
     ("meshshape", lambda c, a: setattr(c, "meshshape", tuple(int(x) for x in a[1:]))),
     ("backend", lambda c, a: setattr(c, "backend", a[1].lower())),
     ("inputformat", lambda c, a: setattr(c, "input_format", a[1].lower())),
+    ("iqdecim", lambda c, a: setattr(c, "iq_decim", int(a[1]))),
     ("dbpath", lambda c, a: setattr(c, "db_path", a[1])),
 ]
 
