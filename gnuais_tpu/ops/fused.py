@@ -35,7 +35,8 @@ TILE_STREAMS = LANES * SUBLANES     # 1024 streams per kernel call
 
 
 def _dpll_kernel(nvalid_ref, x_ref, pll_in, prev_in, last_in,
-                 bits_ref, pll_out, prev_out, last_out, state):
+                 bits_ref, pll_out, prev_out, last_out, state,
+                 unroll: int = 32):
     """One grid step: TC time-tiles of [8, 128] streams.
 
     state: VMEM scratch [3, 8, 128] int32 persisting across grid steps
@@ -56,7 +57,6 @@ def _dpll_kernel(nvalid_ref, x_ref, pll_in, prev_in, last_in,
     # VMEM load and one store amortize the dynamic-index overhead that
     # dominates a step-at-a-time loop; the recurrence itself runs on
     # register tiles between them.
-    unroll = 16
 
     def body(u, _):
         base = u * unroll
@@ -96,7 +96,8 @@ def _dpll_kernel(nvalid_ref, x_ref, pll_in, prev_in, last_in,
 
 def dpll_pallas_tiles(filtered_tiles: jax.Array, n_valid: jax.Array,
                       pll: jax.Array, prev: jax.Array, lastbit: jax.Array,
-                      time_chunk: int = 512, interpret: bool = False):
+                      time_chunk: int = 512, interpret: bool = False,
+                      unroll: int = 32):
     """Run the DPLL kernel on pre-tiled input.
 
     filtered_tiles: float32 [T, 8, 128] with T a multiple of time_chunk.
@@ -105,10 +106,11 @@ def dpll_pallas_tiles(filtered_tiles: jax.Array, n_valid: jax.Array,
     """
     t = filtered_tiles.shape[0]
     assert t % time_chunk == 0, (t, time_chunk)
+    assert time_chunk % unroll == 0, (time_chunk, unroll)
     grid = (t // time_chunk,)
 
     kernel = pl.pallas_call(
-        _dpll_kernel,
+        functools.partial(_dpll_kernel, unroll=unroll),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
@@ -161,8 +163,8 @@ def _tiles_to_state(tile: jax.Array, s: int) -> jax.Array:
 
 
 def dpll_fused(filtered: jax.Array, n_valid: jax.Array, state: DpllState,
-               time_chunk: int = 512, interpret: bool | None = None
-               ) -> Tuple[jax.Array, jax.Array, DpllState]:
+               time_chunk: int = 512, interpret: bool | None = None,
+               unroll: int = 32) -> Tuple[jax.Array, jax.Array, DpllState]:
     """Drop-in fast replacement for ops.demod.dpll_scan.
 
     filtered: [S, T] float32 with S <= 1024 and T a multiple of
@@ -180,7 +182,7 @@ def dpll_fused(filtered: jax.Array, n_valid: jax.Array, state: DpllState,
         _state_to_tiles(state.pll),
         _state_to_tiles(state.prev),
         _state_to_tiles(state.lastbit),
-        time_chunk=time_chunk, interpret=interpret)
+        time_chunk=time_chunk, interpret=interpret, unroll=unroll)
     coded = bits_t.reshape(t, TILE_STREAMS)[:, :s].T    # [S, T]
     bit_valid = coded >= 2
     bits = coded & 1
