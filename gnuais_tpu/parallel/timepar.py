@@ -88,27 +88,21 @@ def time_parallel_decode(stream: np.ndarray, chunk_len: int = 65_536,
         frame_slots=frame_slots, exact_fir=True, fast_dpll=fast_dpll,
         block_base=0)
 
-    # drain + own-region filter
-    words = np.asarray(frames.words)
-    length = np.asarray(frames.length)
+    # drain (native C++ when available) + own-region filter
     start = np.asarray(frames.start)
-    count = np.asarray(frames.count)
+    per_stream = pl.extract_frames(frames)
 
     out: List[Tuple[int, Frame]] = []
     for i in range(k):
         own_lo = overlap if i > 0 else 0
         own_hi = overlap + chunk_len
         base = i * chunk_len - overlap
-        for f in range(int(count[i])):
+        for f, frame in enumerate(per_stream[i]):
             st = int(start[i, f])
             if not (own_lo <= st < own_hi):
                 continue
-            flen = int(length[i, f])
-            raw = pl._reg_to_bits(words[i, f], flen + C.FRAME_TAIL_BITS)
-            from gnuais_tpu.golden.model import crc_check_and_extract
-            ok, payload = crc_check_and_extract(raw, flen)
-            if ok:
-                out.append((base + st, Frame(payload, flen, True)))
+            if frame.crc_ok:
+                out.append((base + st, frame))
 
     out.sort(key=lambda p: p[0])
     return TimeParallelResult(

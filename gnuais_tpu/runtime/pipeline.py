@@ -95,12 +95,28 @@ def _reg_to_bits(words: np.ndarray, nbits: int) -> np.ndarray:
 
 def extract_frames(frames: demod.FrameBatch) -> List[List[Frame]]:
     """Host drain: CRC-check each snapshot; returns per-stream lists of
-    Frame (crc_ok False entries kept for the wrong-CRC counter)."""
+    Frame (crc_ok False entries kept for the wrong-CRC counter).
+
+    Uses the native C++ drain when available (the Python bit loops
+    dominate wall time beyond a few thousand frames/block)."""
     words = np.asarray(frames.words)
     length = np.asarray(frames.length)
     count = np.asarray(frames.count)
-    out: List[List[Frame]] = []
-    for s in range(words.shape[0]):
+    n_streams = words.shape[0]
+
+    try:
+        from gnuais_tpu import native
+        if native.available():
+            out: List[List[Frame]] = [[] for _ in range(n_streams)]
+            for s_idx, payload, flen, ok in native.drain_frames(
+                    words, length, count):
+                out[s_idx].append(Frame(payload, flen, ok))
+            return out
+    except Exception:
+        pass  # fall through to the reference Python drain
+
+    out = []
+    for s in range(n_streams):
         lst: List[Frame] = []
         for k in range(int(count[s])):
             flen = int(length[s, k])
