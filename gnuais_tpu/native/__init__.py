@@ -31,15 +31,21 @@ _lock = threading.Lock()
 
 
 def _build() -> Optional[Path]:
-    _BUILD.mkdir(exist_ok=True)
-    # rebuild when the source is newer than the cached object
-    if _LIB_PATH.exists() and _LIB_PATH.stat().st_mtime >= _SRC.stat().st_mtime:
-        return _LIB_PATH
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-           "-o", str(_LIB_PATH), str(_SRC)]
     try:
+        _BUILD.mkdir(exist_ok=True)
+        # rebuild when the source is newer than the cached object
+        if (_LIB_PATH.exists()
+                and _LIB_PATH.stat().st_mtime >= _SRC.stat().st_mtime):
+            return _LIB_PATH
+        # build to a process-unique temp name and rename atomically so
+        # concurrent first-use builds (multi-host workers) never dlopen
+        # a half-written library
+        tmp = _BUILD / f".libgnuais_native.{os.getpid()}.so"
+        cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+               "-o", str(tmp), str(_SRC)]
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-    except (subprocess.CalledProcessError, FileNotFoundError,
+        os.replace(tmp, _LIB_PATH)
+    except (OSError, subprocess.CalledProcessError,
             subprocess.TimeoutExpired):
         return None
     return _LIB_PATH

@@ -88,21 +88,42 @@ def time_parallel_decode(stream: np.ndarray, chunk_len: int = 65_536,
         frame_slots=frame_slots, exact_fir=True, fast_dpll=fast_dpll,
         block_base=0)
 
-    # drain (native C++ when available) + own-region filter
+    # drain + own-region filter
     start = np.asarray(frames.start)
-    per_stream = pl.extract_frames(frames)
+    from gnuais_tpu import native
+    use_native = native.available()
+    per_stream = pl.extract_frames(frames) if use_native else None
 
     out: List[Tuple[int, Frame]] = []
+    words = length = count = None
+    if not use_native:
+        words = np.asarray(frames.words)
+        length = np.asarray(frames.length)
+        count = np.asarray(frames.count)
     for i in range(k):
         own_lo = overlap if i > 0 else 0
         own_hi = overlap + chunk_len
         base = i * chunk_len - overlap
-        for f, frame in enumerate(per_stream[i]):
+        n_frames = len(per_stream[i]) if use_native else int(count[i])
+        for f in range(n_frames):
             st = int(start[i, f])
             if not (own_lo <= st < own_hi):
                 continue
-            if frame.crc_ok:
-                out.append((base + st, frame))
+            if use_native:
+                frame = per_stream[i][f]
+                if not frame.crc_ok:
+                    continue
+            else:
+                # Python drain: filter first, bit-unpack only the
+                # own-region frames (the per-frame bit loops dominate)
+                flen = int(length[i, f])
+                raw = pl._reg_to_bits(words[i, f], flen + C.FRAME_TAIL_BITS)
+                from gnuais_tpu.golden.model import crc_check_and_extract
+                ok, payload = crc_check_and_extract(raw, flen)
+                if not ok:
+                    continue
+                frame = Frame(payload, flen, True)
+            out.append((base + st, frame))
 
     out.sort(key=lambda p: p[0])
     return TimeParallelResult(

@@ -104,16 +104,13 @@ def extract_frames(frames: demod.FrameBatch) -> List[List[Frame]]:
     count = np.asarray(frames.count)
     n_streams = words.shape[0]
 
-    try:
-        from gnuais_tpu import native
-        if native.available():
-            out: List[List[Frame]] = [[] for _ in range(n_streams)]
-            for s_idx, payload, flen, ok in native.drain_frames(
-                    words, length, count):
-                out[s_idx].append(Frame(payload, flen, ok))
-            return out
-    except Exception:
-        pass  # fall through to the reference Python drain
+    from gnuais_tpu import native
+    if native.available():
+        out: List[List[Frame]] = [[] for _ in range(n_streams)]
+        for s_idx, payload, flen, ok in native.drain_frames(
+                words, length, count):
+            out[s_idx].append(Frame(payload, flen, ok))
+        return out
 
     out = []
     for s in range(n_streams):
@@ -124,7 +121,9 @@ def extract_frames(frames: demod.FrameBatch) -> List[List[Frame]]:
             # 16 FCS + 6 flag bits
             raw = _reg_to_bits(words[s, k], flen + C.FRAME_TAIL_BITS)
             ok, payload = crc_check_and_extract(raw, flen)
-            lst.append(Frame(payload if ok else raw[:flen], flen, ok))
+            # payload is the byte-truncated MSB-first expansion for
+            # CRC-failed frames too, matching the native drain exactly
+            lst.append(Frame(payload, flen, ok))
         out.append(lst)
     return out
 
