@@ -23,18 +23,21 @@ def _f32(x: float) -> np.float32:
 
 def maidenhead_km_distance(lat1: float, lon1: float, lat2: float,
                            lon2: float) -> float:
-    """Great-circle km, float32 arithmetic like the reference
-    (range.c:18-30).  Inputs in radians."""
-    sindlat2 = np.sin(_f32(_f32(lat1 - lat2) * _f32(0.5)), dtype=np.float32)
-    sindlon2 = np.sin(_f32(_f32(lon1 - lon2) * _f32(0.5)), dtype=np.float32)
-    coslat1 = np.cos(_f32(lat1), dtype=np.float32)
-    coslat2 = np.cos(_f32(lat2), dtype=np.float32)
+    """Great-circle km with the reference's float32 promotion chain
+    (range.c:18-30): all four inputs are float parameters, differences
+    are float subtractions, the *0.5 happens in double and rounds back
+    through sinf.  Inputs in radians."""
+    lat1, lon1 = _f32(lat1), _f32(lon1)
+    lat2, lon2 = _f32(lat2), _f32(lon2)
+    sindlat2 = _f32(math.sin(float(_f32(lat1 - lat2)) * 0.5))
+    sindlon2 = _f32(math.sin(float(_f32(lon1 - lon2)) * 0.5))
+    coslat1 = _f32(math.cos(float(lat1)))
+    coslat2 = _f32(math.cos(float(lat2)))
     a = _f32(_f32(sindlat2 * sindlat2)
              + _f32(_f32(coslat1 * coslat2) * _f32(sindlon2 * sindlon2)))
-    c = _f32(2.0) * np.arctan2(np.sqrt(a, dtype=np.float32),
-                               np.sqrt(_f32(1.0) - a, dtype=np.float32),
-                               dtype=np.float32)
-    return float(_f32(_f32(111.2 * 180.0 / math.pi) * c))
+    c = _f32(2.0) * _f32(math.atan2(float(_f32(math.sqrt(a))),
+                                    float(_f32(math.sqrt(_f32(1.0) - a)))))
+    return float(_f32(_f32(111.2 * 180.0 / math.pi) * _f32(c)))
 
 
 class RangeTracker:
@@ -48,8 +51,10 @@ class RangeTracker:
         self.enabled = (mylat_deg is not None and mylng_deg is not None
                         and -90 < mylat_deg < 90 and -180 < mylng_deg < 180)
         if self.enabled:
-            self.mylat = math.radians(mylat_deg)
-            self.mylng = math.radians(mylng_deg)
+            # lat2rad: float input times double PI/180, stored as float
+            # (range.c:8-16 via cfg.c:366-367)
+            self.mylat = float(_f32(float(_f32(mylat_deg)) * (math.pi / 180.0)))
+            self.mylng = float(_f32(float(_f32(mylng_deg)) * (math.pi / 180.0)))
 
     def update(self, lat_deg: float, lon_deg: float) -> None:
         if not self.enabled:
@@ -58,9 +63,9 @@ class RangeTracker:
             return
         if -0.001 < lat_deg < 0.001 and -0.001 < lon_deg < 0.001:
             return
-        d = maidenhead_km_distance(self.mylat, self.mylng,
-                                   math.radians(lat_deg),
-                                   math.radians(lon_deg))
+        lat_r = float(_f32(float(_f32(lat_deg)) * (math.pi / 180.0)))
+        lon_r = float(_f32(float(_f32(lon_deg)) * (math.pi / 180.0)))
+        d = maidenhead_km_distance(self.mylat, self.mylng, lat_r, lon_r)
         if d > self.best_range:
             self.best_range = d
 

@@ -62,4 +62,31 @@ for s in "${SRCS[@]}"; do FILES+=("$REF/src/$s.c"); done
 gcc -O2 -w -fcommon -I"$OUT" -I"$OUT/build" -I"$REF/src" \
     -o "$OUT/build/gnuais_oracle" "${FILES[@]}" -lpthread -lm
 
-echo "oracle built: $OUT/build/gnuais_oracle"
+# numeric-parity harness around the reference range math
+cat > "$OUT/build/range_harness.c" <<'EOF'
+/* Oracle harness for the reference range math (range.c), for numeric
+ * parity testing of the rebuild's RangeTracker. */
+#include <stdio.h>
+#include <stdlib.h>
+#include "range.h"
+#include "protodec.h"
+float mylat, mylng;
+int have_my_loc = 1;
+int hlog(int priority, const char *fmt, ...) { return 0; }
+int main(int argc, char **argv)
+{
+    struct demod_state_t d = {0};
+    d.chanid = 'A';
+    mylat = lat2rad(atof(argv[1]));
+    mylng = lon2rad(atof(argv[2]));
+    for (int i = 3; i + 1 < argc; i += 2)
+        update_range(&d, atof(argv[i]), atof(argv[i + 1]));
+    printf("%.6f\n", d.best_range);
+    return 0;
+}
+EOF
+gcc -O2 -w -I"$OUT" -I"$OUT/build" -I"$REF/src" \
+    -o "$OUT/build/range_harness" "$OUT/build/range_harness.c" \
+    "$REF/src/range.c" -lm
+
+echo "oracle built: $OUT/build/gnuais_oracle (+range_harness)"
