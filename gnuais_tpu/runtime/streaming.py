@@ -1,0 +1,98 @@
+"""Pipelined streaming decode: overlap device compute with host
+ingest/drain.
+
+JAX dispatch is asynchronous; the blocking points are the host-side
+frame readbacks.  This driver keeps up to ``depth`` blocks in flight:
+``submit`` enqueues a block (device work starts immediately), and
+completed blocks drain lazily, so at the steady state the chip computes
+block k+1 while the host unpacks block k's frames and prepares block
+k+2 — the double-buffered infeed SURVEY.md flags as required at
+>1000x real-time rates (host feed must not starve the chips).
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from typing import Callable, Deque, List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from gnuais_tpu.golden.model import Frame
+from gnuais_tpu.runtime import pipeline as pl
+
+
+class PipelinedDecoder:
+    """BatchPipeline with a submit/drain split and bounded in-flight
+    queue.  Results come out in submission order."""
+
+    def __init__(self, n_streams: int, block_len: int = 49_152,
+                 frame_slots: int = 32, fast_dpll: bool = False,
+                 depth: int = 2):
+        self.pipe = pl.BatchPipeline(n_streams, block_len=block_len,
+                                     frame_slots=frame_slots,
+                                     fast_dpll=fast_dpll)
+        self.depth = depth
+        self._pending: Deque = deque()
+
+    @property
+    def counters(self):
+        return self.pipe.counters
+
+    def _dispatch(self, samples: np.ndarray):
+        p = self.pipe
+        s, n = samples.shape
+        assert s == p.n_streams and n <= p.block_len
+        if n < p.block_len:
+            samples = np.pad(samples, ((0, 0), (0, p.block_len - n)))
+        p.carry, frames, _peak = pl.decode_block(
+            jnp.asarray(samples), jnp.int32(n), p.carry,
+            frame_slots=p.frame_slots, exact_fir=p.exact_fir,
+            fast_dpll=p.fast_dpll)
+        return frames
+
+    def _drain_one(self) -> List[List[Frame]]:
+        frames = self._pending.popleft()
+        per_stream = pl.extract_frames(frames)
+        lost2 = np.asarray(frames.lost2)
+        dropped = np.asarray(frames.dropped)
+        out: List[List[Frame]] = []
+        for i, lst in enumerate(per_stream):
+            ok = [f for f in lst if f.crc_ok]
+            ctr = self.pipe.counters[i]
+            ctr.receivedframes += len(ok)
+            ctr.lostframes += len(lst) - len(ok)
+            ctr.lostframes2 += int(lost2[i])
+            if dropped[i]:
+                raise RuntimeError(
+                    f"frame slot overflow on stream {i}: raise frame_slots")
+            out.append(ok)
+        return out
+
+    def submit(self, samples: np.ndarray) -> Optional[List[List[Frame]]]:
+        """Enqueue a block; returns the OLDEST completed block's frames
+        once the in-flight queue is full, else None."""
+        self._pending.append(self._dispatch(samples))
+        if len(self._pending) > self.depth:
+            return self._drain_one()
+        return None
+
+    def flush(self) -> List[List[List[Frame]]]:
+        """Drain all in-flight blocks (call at end of stream)."""
+        out = []
+        while self._pending:
+            out.append(self._drain_one())
+        return out
+
+    def run(self, blocks) -> List[List[List[Frame]]]:
+        """Convenience: pump an iterable of [S, n] blocks through the
+        pipeline; returns per-block per-stream frames in order."""
+        results: List[List[List[Frame]]] = []
+        for b in blocks:
+            r = self.submit(b)
+            if r is not None:
+                results.append(r)
+        results.extend(self.flush())
+        return results
