@@ -44,11 +44,13 @@ def init_dpll(n_streams: int):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("frame_slots", "exact_fir", "fast_dpll"))
+                   static_argnames=("frame_slots", "exact_fir", "fast_dpll",
+                                    "fused_frontend"))
 def decode_block(samples: jax.Array, n_valid: jax.Array,
                  carry: PipelineCarry, frame_slots: int = 32,
                  exact_fir: bool = True, fast_dpll: bool = False,
-                 block_base: jax.Array | int = 0
+                 block_base: jax.Array | int = 0,
+                 fused_frontend: bool = False
                  ) -> Tuple[PipelineCarry, demod.FrameBatch, jax.Array]:
     """samples: int16 [S, T]; n_valid: scalar int32 (samples actually
     present — short final blocks are padded to T).  Returns
@@ -56,25 +58,35 @@ def decode_block(samples: jax.Array, n_valid: jax.Array,
 
     fast_dpll selects the Pallas clock-recovery kernel (bit-identical
     semantics, no per-step scan overhead); requires T to be a multiple
-    of 512 and S <= 1024 per call.
+    of 512 and S <= 1024 per call.  fused_frontend additionally folds
+    the exact FIR and the 4-sample bit slotting into that kernel, so
+    the filtered array and the per-sample bit stream never touch HBM
+    (still bit-identical; same shape constraints; implies exact FIR).
     """
     t = samples.shape[1]
-    sample_valid = jnp.arange(t) < n_valid
-    fir_fn = fir.fir_exact if exact_fir else fir.fir_conv
-    filtered, history = fir_fn(samples, carry.history, n_valid=n_valid)
-    if fast_dpll:
-        from gnuais_tpu.ops.fused import dpll_fused
-        bit_valid, bits, dpll_state = dpll_fused(filtered, n_valid,
-                                                 carry.dpll)
+    if fused_frontend:
+        from gnuais_tpu.ops.fused import frontend_fused
+        assert t % 4 == 0
+        bitrows, slot_valid, pos_rows, history, dpll_state = frontend_fused(
+            samples, n_valid, carry.history, carry.dpll,
+            block_base=block_base)
     else:
-        bit_valid, bits, dpll_state = demod.dpll_scan(filtered, sample_valid,
-                                                      carry.dpll)
-    if t % 4:
-        pad = 4 - t % 4
-        bit_valid = jnp.pad(bit_valid, ((0, 0), (0, pad)))
-        bits = jnp.pad(bits, ((0, 0), (0, pad)))
-    bitrows, slot_valid, pos_rows = demod.group_reduce_bits(
-        bit_valid, bits, block_base)
+        sample_valid = jnp.arange(t) < n_valid
+        fir_fn = fir.fir_exact if exact_fir else fir.fir_conv
+        filtered, history = fir_fn(samples, carry.history, n_valid=n_valid)
+        if fast_dpll:
+            from gnuais_tpu.ops.fused import dpll_fused
+            bit_valid, bits, dpll_state = dpll_fused(filtered, n_valid,
+                                                     carry.dpll)
+        else:
+            bit_valid, bits, dpll_state = demod.dpll_scan(
+                filtered, sample_valid, carry.dpll)
+        if t % 4:
+            pad = 4 - t % 4
+            bit_valid = jnp.pad(bit_valid, ((0, 0), (0, pad)))
+            bits = jnp.pad(bits, ((0, 0), (0, pad)))
+        bitrows, slot_valid, pos_rows = demod.group_reduce_bits(
+            bit_valid, bits, block_base)
     frames0 = demod.init_frames(samples.shape[0], frame_slots)
     hdlc_state, frames = demod.hdlc_scan(bitrows, slot_valid,
                                          carry.hdlc, frames0, pos_rows)
@@ -140,8 +152,8 @@ class BatchPipeline:
 
     def __init__(self, n_streams: int, block_len: int = 49_152,
                  frame_slots: int = 32, exact_fir: bool = True,
-                 fast_dpll: bool = False):
-        if fast_dpll:
+                 fast_dpll: bool = False, fused_frontend: bool = False):
+        if fast_dpll or fused_frontend:
             assert block_len % 512 == 0 and n_streams <= 1024, \
                 "fast path: block_len % 512 == 0, <= 1024 streams/call"
         self.n_streams = n_streams
@@ -149,6 +161,7 @@ class BatchPipeline:
         self.frame_slots = frame_slots
         self.exact_fir = exact_fir
         self.fast_dpll = fast_dpll
+        self.fused_frontend = fused_frontend
         self.carry = init_carry(n_streams)
         self.counters = [StreamCounters() for _ in range(n_streams)]
 
@@ -162,7 +175,7 @@ class BatchPipeline:
         self.carry, frames, _peak = decode_block(
             jnp.asarray(samples), jnp.int32(n), self.carry,
             frame_slots=self.frame_slots, exact_fir=self.exact_fir,
-            fast_dpll=self.fast_dpll)
+            fast_dpll=self.fast_dpll, fused_frontend=self.fused_frontend)
         per_stream = extract_frames(frames)
         lost2 = np.asarray(frames.lost2)
         dropped = np.asarray(frames.dropped)
