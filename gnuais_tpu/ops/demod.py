@@ -399,25 +399,38 @@ def hdlc_scan(bitrows: jax.Array, slot_valid: jax.Array,
     cl = flen_c.transpose(1, 0, 2).reshape(s, k)
     cs = start_c.transpose(1, 0, 2).reshape(s, k)
 
+    frames = compact_candidates(
+        frames, cand_valid, cw, cl, cs,
+        lost2=jnp.sum(lost2_c, axis=0).astype(jnp.int32),
+        over=jnp.sum(over_c, axis=0).astype(jnp.int32))
+    return state, frames
+
+
+def compact_candidates(frames: FrameBatch, cand_valid: jax.Array,
+                       cw: jax.Array, cl: jax.Array, cs: jax.Array,
+                       lost2: jax.Array, over: jax.Array) -> FrameBatch:
+    """Scatter frame candidates (arrival order along axis 1) into
+    FrameBatch slots.  cand_valid [S, K] bool; cw [S, K, REG_WORDS];
+    cl/cs [S, K]; lost2/over [S] counters to accumulate."""
+    s, k = cand_valid.shape
+    frame_slots = frames.words.shape[1]
     dst = jnp.cumsum(cand_valid.astype(jnp.int32), axis=1) - 1 \
         + frames.count[:, None]
     overflow = cand_valid & (dst >= frame_slots)
     dst = jnp.where(cand_valid & jnp.logical_not(overflow), dst,
                     frame_slots)                             # drop mode
-    rows2 = jnp.broadcast_to(rows[:, None], (s, k))
+    rows2 = jnp.broadcast_to(jnp.arange(s)[:, None], (s, k))
     new_words = frames.words.at[rows2, dst].set(cw, mode="drop")
     new_len = frames.length.at[rows2, dst].set(cl, mode="drop")
     new_start = frames.start.at[rows2, dst].set(cs, mode="drop")
 
     n_new = jnp.sum(cand_valid, axis=1).astype(jnp.int32)
-    n_over = jnp.sum(overflow, axis=1).astype(jnp.int32) + \
-        jnp.sum(over_c, axis=0).astype(jnp.int32)
-    frames = FrameBatch(
+    n_over = jnp.sum(overflow, axis=1).astype(jnp.int32) + over
+    return FrameBatch(
         words=new_words,
         length=new_len,
         start=new_start,
         count=jnp.minimum(frames.count + n_new, frame_slots),
-        lost2=frames.lost2 + jnp.sum(lost2_c, axis=0).astype(jnp.int32),
+        lost2=frames.lost2 + lost2,
         dropped=frames.dropped + n_over,
     )
-    return state, frames

@@ -368,3 +368,422 @@ def dpll_fused(filtered: jax.Array, n_valid: jax.Array, state: DpllState,
         lastbit=_tiles_to_state(last2, s),
     )
     return bit_valid, bits, new_state
+
+
+# ---------------------------------------------------------------------------
+# Fully fused pipeline kernel: FIR + DPLL + slotting + HDLC deframe.
+# Raw samples in, frame snapshots out — no intermediate array (filtered
+# samples, per-sample bits, bit slots) ever touches HBM.
+# ---------------------------------------------------------------------------
+
+from gnuais_tpu.ops.demod import (HDLC_CHUNK, MINI_SLOTS, REG_WORDS,
+                                  HdlcState)
+
+HDLC_VARS = 8   # state, last, antallpreamble, nstartsign, antallenner,
+                # bitstuff, bufferpos, data_start
+
+
+def _hdlc_slot_tiles(hv, srg, b, valid, spos):
+    """One HDLC bit-slot update on [8, 128] stream tiles.
+
+    Mirrors the per-slot update in ops.demod.hdlc_scan (itself an exact
+    re-derivation of protodec.c:993-1121) with streams on VPU lanes.
+
+    hv: tuple of HDLC_VARS int32 tiles; srg: list of REG_WORDS uint32
+    tiles (word 0 oldest, newest bit = LSB of the last word); b: int32
+    bit tile; valid: bool tile (slots without an emitted bit freeze the
+    state); spos: int32 tile of absolute sample indices.
+
+    Returns (hv', srg', emit, flen, bad) — emit marks completed frames
+    of positive length (snapshot = srg', unchanged on stop slots); flen
+    is the pre-reset payload bit count; bad marks wrong-size stop flags
+    (the reference's lostframes2 counter).
+    """
+    st_state, st_last, st_ap, st_ns, st_ae, st_bs, st_bp, st_ds = hv
+
+    is_data = st_state == C.ST_DATA
+    is_skurr = st_state == C.ST_SKURR
+    is_pre = st_state == C.ST_PREAMBLE
+    is_start = st_state == C.ST_STARTSIGN
+    is_stop = st_state == C.ST_STOPSIGN
+
+    b1 = b == 1
+    b0 = jnp.logical_not(b1)
+
+    # ---- ST_DATA -----------------------------------------------------
+    d_stuffed = st_bs == 1
+    d_to_stop = d_stuffed & b1
+    d_app = jnp.logical_not(d_stuffed)
+    ae_new = jnp.where(b1 & (st_last == 1), st_ae + 1, 0)
+    d_set_stuff = ae_new == 4
+    ae_app = jnp.where(d_set_stuff, 0, ae_new)
+    bp_app = st_bp + 1
+    d_reset = d_app & (bp_app >= C.MAX_FRAME_DATA_BITS)
+
+    d_state = jnp.where(d_to_stop, C.ST_STOPSIGN,
+                        jnp.where(d_reset, C.ST_SKURR, C.ST_DATA))
+    d_bs = jnp.where(d_reset, 0, jnp.where(d_app & d_set_stuff, 1, 0))
+    d_ae = jnp.where(d_reset, 0, jnp.where(d_app, ae_app, st_ae))
+    d_bp = jnp.where(d_reset, 0, jnp.where(d_app, bp_app, st_bp))
+    d_ap = jnp.where(d_reset, 0, st_ap)
+    d_ns = jnp.where(d_reset, 0, st_ns)
+
+    # ---- ST_SKURR ------------------------------------------------------
+    ap_s = jnp.where(b != st_last, st_ap + 1, 0)
+    s_go = (ap_s > 14) & b0
+    s_state = jnp.where(s_go, C.ST_PREAMBLE, C.ST_SKURR)
+    s_ap = jnp.where(s_go, 0, ap_s)
+
+    # ---- ST_PREAMBLE ---------------------------------------------------
+    p_alt = (b != st_last) & (st_ns == 0)
+    p_ns0 = st_ns == 0
+    p_ns5 = st_ns == 5
+    p_to_start = jnp.logical_not(p_alt) & b1 & p_ns5
+    p_reset = jnp.logical_not(p_alt) & b0 & jnp.logical_not(p_ns0)
+    p_ns = jnp.where(
+        p_alt, st_ns,
+        jnp.where(b1,
+                  jnp.where(p_ns0, 3, jnp.where(p_ns5, 6, st_ns + 1)),
+                  jnp.where(p_ns0, 1, 0)))
+    p_ap = jnp.where(p_alt, st_ap + 1,
+                     jnp.where(p_to_start | p_reset, 0, st_ap))
+    p_state = jnp.where(p_to_start, C.ST_STARTSIGN,
+                        jnp.where(p_reset, C.ST_SKURR, C.ST_PREAMBLE))
+    p_ae = jnp.where(p_reset, 0, st_ae)
+    p_bs = jnp.where(p_reset, 0, st_bs)
+    p_bp = jnp.where(p_reset, 0, st_bp)
+
+    # ---- ST_STARTSIGN ----------------------------------------------------
+    t_ge7 = st_ns >= 7
+    t_to_data = t_ge7 & b0
+    t_reset = (t_ge7 & b1) | (jnp.logical_not(t_ge7) & b0)
+    t_ns = jnp.where(t_to_data | t_reset, 1, st_ns + 1)
+    t_state = jnp.where(t_to_data, C.ST_DATA,
+                        jnp.where(t_reset, C.ST_SKURR, C.ST_STARTSIGN))
+    t_ae = jnp.where(t_to_data | t_reset, 0, st_ae)
+    t_bs = jnp.where(t_reset, 0, st_bs)
+    t_bp = jnp.where(t_to_data | t_reset, 0, st_bp)
+    t_ap = jnp.where(t_reset, 0, st_ap)
+
+    # ---- ST_STOPSIGN -----------------------------------------------------
+    flen = st_bp - C.FRAME_TAIL_BITS
+    good = b0 & (flen > 0)
+
+    # ---- merge -----------------------------------------------------------
+    zero = jnp.zeros_like(st_state)
+
+    def pick(data, skurr, pre, start, stop):
+        return jnp.where(is_data, data,
+               jnp.where(is_skurr, skurr,
+               jnp.where(is_pre, pre,
+               jnp.where(is_start, start, stop))))
+
+    n_state = pick(d_state, s_state, p_state, t_state,
+                   jnp.full_like(st_state, C.ST_SKURR))
+    n_ap = pick(d_ap, s_ap, p_ap, t_ap, zero)
+    n_ns = pick(d_ns, st_ns, p_ns, t_ns, zero)
+    n_ae = pick(d_ae, st_ae, p_ae, t_ae, zero)
+    n_bs = pick(d_bs, st_bs, p_bs, t_bs, zero)
+    n_bp = pick(d_bp, st_bp, p_bp, t_bp, zero)
+    n_ds = jnp.where(is_start & t_to_data, spos, st_ds)
+
+    def keep(new, old):
+        return jnp.where(valid, new, old)
+
+    append = valid & is_data & d_app
+    bu = b.astype(jnp.uint32)
+    new_srg = []
+    for w in range(REG_WORDS):
+        carry_in = (srg[w + 1] >> 31) if w + 1 < REG_WORDS else bu
+        new_srg.append(jnp.where(append, (srg[w] << 1) | carry_in, srg[w]))
+
+    hv2 = (keep(n_state, st_state), keep(b, st_last), keep(n_ap, st_ap),
+           keep(n_ns, st_ns), keep(n_ae, st_ae), keep(n_bs, st_bs),
+           keep(n_bp, st_bp), keep(n_ds, st_ds))
+    emit = is_stop & good & valid
+    bad = is_stop & jnp.logical_not(good) & valid
+    return hv2, new_srg, emit, flen, bad
+
+
+def _pipeline_kernel(scal_ref, x_ref, pll_in, prev_in, last_in, hist_in,
+                     hst_in, sreg_in,
+                     mwords_ref, mlen_ref, mstart_ref, mcnt_ref,
+                     pll_out, prev_out, last_out, hst_out, sreg_out,
+                     lost2_out, over_out,
+                     state, hist, hst, sreg, mwords, mlen, mstart, mctr,
+                     unroll: int = 32, guarded: bool = True):
+    """One grid step of the fully fused decode pipeline.
+
+    scal_ref: [2] int32 = (n_valid, block_base).  Per grid step, TC raw
+    sample tiles stream in; frame snapshots land in per-HDLC-chunk mini
+    buffers (<= MINI_SLOTS completions per 64-slot chunk — see the
+    spacing argument at demod.HDLC_CHUNK) flushed to mwords/mlen/
+    mstart/mcnt.  lost2/over accumulate across the whole call and are
+    written once at the end.
+    """
+    tc = x_ref.shape[0]
+    chunk = pl.program_id(0)
+    slots_per_body = unroll // 4
+    bodies_per_hchunk = HDLC_CHUNK // slots_per_body
+
+    @pl.when(chunk == 0)
+    def _():
+        state[0] = pll_in[:]
+        state[1] = prev_in[:]
+        state[2] = last_in[:]
+        hist[:] = hist_in[:]
+        hst[:] = hst_in[:]
+        sreg[:] = sreg_in[:]
+        mctr[:] = jnp.zeros((3, SUBLANES, LANES), dtype=jnp.int32)
+
+    n_valid = scal_ref[0]
+    block_base = scal_ref[1]
+
+    def body(u, _):
+        base = u * unroll
+        x8 = x_ref[pl.ds(base, unroll)]            # [UNROLL, 8, 128] raw
+        win = [hist[i] for i in range(C.FIR_LEN)]
+        win += [x8[k] for k in range(unroll)]
+        pll = state[0]
+        prev = state[1]
+        lastbit = state[2]
+        hv = tuple(hst[i] for i in range(HDLC_VARS))
+        srg = [sreg[i] for i in range(REG_WORDS)]
+        mcnt = mctr[0]
+        ml2 = mctr[1]
+        mover = mctr[2]
+        acc = None
+        for k in range(unroll):
+            f = win[k] * _TAPS_F32[0]
+            for i in range(1, C.FIR_LEN):
+                f = f + win[k + i] * _TAPS_F32[i]
+            curr = (f > 0.0).astype(jnp.int32)
+            trans = curr != prev
+            nudge = jnp.where(pll < C.PLL_CENTER, C.PLL_NUDGE, -C.PLL_NUDGE)
+            pll_adv = pll + jnp.where(trans, nudge, 0) + C.PLL_INC
+            emit_b = pll_adv > 0xFFFF
+            bit = 1 - (curr ^ lastbit)
+            valid = (chunk * tc + base + k) < n_valid
+            code = jnp.where(emit_b & valid, 8 | (bit << 2) | (k & 3), 0)
+            acc = code if acc is None else acc | code
+            pll_next = jnp.where(emit_b, pll_adv & 0xFFFF, pll_adv)
+            last_next = jnp.where(emit_b, curr, lastbit)
+            pll = jnp.where(valid, pll_next, pll)
+            prev = jnp.where(valid, curr, prev)
+            lastbit = jnp.where(valid, last_next, lastbit)
+            if (k & 3) == 3:
+                gval = acc >= 8
+                gbit = (acc >> 2) & 1
+                spos = (block_base + chunk * tc + base + (k - 3)) \
+                    + (acc & 3)
+                hv, srg, emit, flen, bad = _hdlc_slot_tiles(
+                    hv, srg, gbit, gval, spos)
+                ml2 = ml2 + bad.astype(jnp.int32)
+                mover = mover + (emit & (mcnt >= MINI_SLOTS)
+                                 ).astype(jnp.int32)
+
+                def snapshot(emit=emit, flen=flen, srg=srg, hv=hv,
+                             mcnt=mcnt):
+                    for m in range(MINI_SLOTS):
+                        sel = emit & (mcnt == m)
+                        for w in range(REG_WORDS):
+                            mwords[m, w] = jnp.where(sel, srg[w],
+                                                     mwords[m, w])
+                        mlen[m] = jnp.where(sel, flen, mlen[m])
+                        mstart[m] = jnp.where(sel, hv[7], mstart[m])
+
+                if guarded:
+                    pl.when(jnp.any(emit))(snapshot)
+                else:
+                    snapshot()
+                mcnt = mcnt + emit.astype(jnp.int32)
+                acc = None
+
+        state[0] = pll
+        state[1] = prev
+        state[2] = lastbit
+        for i in range(HDLC_VARS):
+            hst[i] = hv[i]
+        for w in range(REG_WORDS):
+            sreg[w] = srg[w]
+        for i in range(C.FIR_LEN):
+            hist[i] = win[unroll + i]
+
+        flush = (u % bodies_per_hchunk) == bodies_per_hchunk - 1
+
+        @pl.when(flush)
+        def _():
+            c = u // bodies_per_hchunk
+            mwords_ref[pl.ds(c, 1)] = mwords[:][None]
+            mlen_ref[pl.ds(c, 1)] = mlen[:][None]
+            mstart_ref[pl.ds(c, 1)] = mstart[:][None]
+            mcnt_ref[pl.ds(c, 1)] = mcnt[None]
+
+        mctr[0] = jnp.where(flush, 0, mcnt)
+        mctr[1] = ml2
+        mctr[2] = mover
+        return 0
+
+    jax.lax.fori_loop(0, tc // unroll, body, 0)
+
+    @pl.when(chunk == pl.num_programs(0) - 1)
+    def _():
+        pll_out[:] = state[0]
+        prev_out[:] = state[1]
+        last_out[:] = state[2]
+        hst_out[:] = hst[:]
+        sreg_out[:] = sreg[:]
+        lost2_out[:] = mctr[1]
+        over_out[:] = mctr[2]
+
+
+def _hdlc_state_to_tiles(h: HdlcState) -> Tuple[jax.Array, jax.Array]:
+    """HdlcState ([S] vars + [S, REG_WORDS] register) ->
+    ([HDLC_VARS, 8, 128] int32, [REG_WORDS, 8, 128] uint32)."""
+    vars_ = jnp.stack([h.state, h.last, h.antallpreamble, h.nstartsign,
+                       h.antallenner, h.bitstuff, h.bufferpos,
+                       h.data_start])                     # [8, S]
+    s = h.state.shape[0]
+    vt = jnp.pad(vars_, ((0, 0), (0, TILE_STREAMS - s))) \
+        .reshape(HDLC_VARS, SUBLANES, LANES)
+    rt = jnp.pad(h.shiftreg.T, ((0, 0), (0, TILE_STREAMS - s))) \
+        .reshape(REG_WORDS, SUBLANES, LANES)
+    return vt, rt
+
+
+def _tiles_to_hdlc_state(vt: jax.Array, rt: jax.Array, s: int) -> HdlcState:
+    v = vt.reshape(HDLC_VARS, TILE_STREAMS)[:, :s]
+    return HdlcState(
+        state=v[0], last=v[1], antallpreamble=v[2], nstartsign=v[3],
+        antallenner=v[4], bitstuff=v[5], bufferpos=v[6], data_start=v[7],
+        shiftreg=rt.reshape(REG_WORDS, TILE_STREAMS)[:, :s].T)
+
+
+def pipeline_fused(samples: jax.Array, n_valid: jax.Array,
+                   history: jax.Array, dpll: DpllState, hdlc: HdlcState,
+                   block_base: jax.Array | int = 0,
+                   time_chunk: int = 512, interpret: bool | None = None,
+                   unroll: int = 32, guarded: bool = True):
+    """Fused raw-samples -> frame-candidates decode step.
+
+    samples: int16/float32 [S, T], S <= 1024, T a multiple of
+    time_chunk (and time_chunk of 4*HDLC_CHUNK).  Returns
+    (cand_valid [S, K] bool, cw [S, K, REG_WORDS] uint32, cl [S, K],
+    cs [S, K], lost2 [S], over [S], new_history, new_dpll, new_hdlc)
+    — bit-identical to fir_exact + dpll_scan + group_reduce_bits +
+    hdlc_scan; feed the candidates to demod.compact_candidates.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    s, t = samples.shape
+    assert t % time_chunk == 0 and time_chunk % unroll == 0 \
+        and unroll % 4 == 0 and time_chunk % (4 * HDLC_CHUNK) == 0, \
+        (t, time_chunk, unroll)
+    nch = time_chunk // (4 * HDLC_CHUNK)     # HDLC chunks per grid step
+    n_chunks = t // (4 * HDLC_CHUNK)         # total HDLC chunks
+    xf = samples.astype(jnp.float32)
+    tiles, _pad = _to_tiles(xf)
+    hist_t = jnp.pad(history, ((0, TILE_STREAMS - s), (0, 0))) \
+        .T.reshape(C.FIR_LEN, SUBLANES, LANES)
+    hvt, hrt = _hdlc_state_to_tiles(hdlc)
+    grid = (t // time_chunk,)
+
+    tile2 = pl.BlockSpec((SUBLANES, LANES), lambda i, nv: (0, 0))
+    kernel = pl.pallas_call(
+        functools.partial(_pipeline_kernel, unroll=unroll, guarded=guarded),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((time_chunk, SUBLANES, LANES),
+                             lambda i, nv: (i, 0, 0)),
+                tile2, tile2, tile2,
+                pl.BlockSpec((C.FIR_LEN, SUBLANES, LANES),
+                             lambda i, nv: (0, 0, 0)),
+                pl.BlockSpec((HDLC_VARS, SUBLANES, LANES),
+                             lambda i, nv: (0, 0, 0)),
+                pl.BlockSpec((REG_WORDS, SUBLANES, LANES),
+                             lambda i, nv: (0, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((nch, MINI_SLOTS, REG_WORDS, SUBLANES, LANES),
+                             lambda i, nv: (i, 0, 0, 0, 0)),
+                pl.BlockSpec((nch, MINI_SLOTS, SUBLANES, LANES),
+                             lambda i, nv: (i, 0, 0, 0)),
+                pl.BlockSpec((nch, MINI_SLOTS, SUBLANES, LANES),
+                             lambda i, nv: (i, 0, 0, 0)),
+                pl.BlockSpec((nch, SUBLANES, LANES),
+                             lambda i, nv: (i, 0, 0)),
+                tile2, tile2, tile2,
+                pl.BlockSpec((HDLC_VARS, SUBLANES, LANES),
+                             lambda i, nv: (0, 0, 0)),
+                pl.BlockSpec((REG_WORDS, SUBLANES, LANES),
+                             lambda i, nv: (0, 0, 0)),
+                tile2, tile2,
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((3, SUBLANES, LANES), jnp.int32),
+                pltpu.VMEM((C.FIR_LEN, SUBLANES, LANES), jnp.float32),
+                pltpu.VMEM((HDLC_VARS, SUBLANES, LANES), jnp.int32),
+                pltpu.VMEM((REG_WORDS, SUBLANES, LANES), jnp.uint32),
+                pltpu.VMEM((MINI_SLOTS, REG_WORDS, SUBLANES, LANES),
+                           jnp.uint32),
+                pltpu.VMEM((MINI_SLOTS, SUBLANES, LANES), jnp.int32),
+                pltpu.VMEM((MINI_SLOTS, SUBLANES, LANES), jnp.int32),
+                pltpu.VMEM((3, SUBLANES, LANES), jnp.int32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((n_chunks, MINI_SLOTS, REG_WORDS,
+                                  SUBLANES, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((n_chunks, MINI_SLOTS, SUBLANES, LANES),
+                                 jnp.int32),
+            jax.ShapeDtypeStruct((n_chunks, MINI_SLOTS, SUBLANES, LANES),
+                                 jnp.int32),
+            jax.ShapeDtypeStruct((n_chunks, SUBLANES, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((SUBLANES, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((SUBLANES, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((SUBLANES, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((HDLC_VARS, SUBLANES, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((REG_WORDS, SUBLANES, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((SUBLANES, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((SUBLANES, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+    )
+    scal = jnp.asarray([n_valid, block_base], dtype=jnp.int32)
+    (mwords_t, mlen_t, mstart_t, mcnt_t, pll2, prev2, last2,
+     hvt2, hrt2, lost2_t, over_t) = kernel(
+        scal, tiles,
+        _state_to_tiles(dpll.pll),
+        _state_to_tiles(dpll.prev),
+        _state_to_tiles(dpll.lastbit),
+        hist_t, hvt, hrt)
+
+    # unpack candidates to stream-major [S, K] (chunk-major, mini-minor
+    # = arrival order, matching hdlc_scan's compaction)
+    k = n_chunks * MINI_SLOTS
+    cw = mwords_t.transpose(3, 4, 0, 1, 2) \
+        .reshape(TILE_STREAMS, k, REG_WORDS)[:s]
+    cl = mlen_t.transpose(2, 3, 0, 1).reshape(TILE_STREAMS, k)[:s]
+    cs = mstart_t.transpose(2, 3, 0, 1).reshape(TILE_STREAMS, k)[:s]
+    cnt = mcnt_t.transpose(1, 2, 0).reshape(TILE_STREAMS, n_chunks)[:s]
+    cand_valid = (jnp.arange(MINI_SLOTS)[None, None, :]
+                  < cnt[:, :, None]).reshape(s, k)
+    lost2 = lost2_t.reshape(TILE_STREAMS)[:s]
+    over = over_t.reshape(TILE_STREAMS)[:s]
+
+    # carried FIR history: last 36 valid raw samples (XLA side — the
+    # kernel's in-flight history sees pad zeros past n_valid)
+    x = jnp.concatenate([history, xf], axis=1)
+    new_history = jax.lax.dynamic_slice_in_dim(
+        x, jnp.asarray(n_valid, dtype=jnp.int32), C.FIR_LEN, axis=1)
+
+    new_dpll = DpllState(
+        pll=_tiles_to_state(pll2, s),
+        prev=_tiles_to_state(prev2, s),
+        lastbit=_tiles_to_state(last2, s),
+    )
+    new_hdlc = _tiles_to_hdlc_state(hvt2, hrt2, s)
+    return (cand_valid, cw, cl, cs, lost2, over,
+            new_history, new_dpll, new_hdlc)

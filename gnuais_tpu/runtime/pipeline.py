@@ -45,12 +45,13 @@ def init_dpll(n_streams: int):
 
 @functools.partial(jax.jit,
                    static_argnames=("frame_slots", "exact_fir", "fast_dpll",
-                                    "fused_frontend"))
+                                    "fused_frontend", "fused_pipeline"))
 def decode_block(samples: jax.Array, n_valid: jax.Array,
                  carry: PipelineCarry, frame_slots: int = 32,
                  exact_fir: bool = True, fast_dpll: bool = False,
                  block_base: jax.Array | int = 0,
-                 fused_frontend: bool = False
+                 fused_frontend: bool = False,
+                 fused_pipeline: bool = False
                  ) -> Tuple[PipelineCarry, demod.FrameBatch, jax.Array]:
     """samples: int16 [S, T]; n_valid: scalar int32 (samples actually
     present — short final blocks are padded to T).  Returns
@@ -62,8 +63,22 @@ def decode_block(samples: jax.Array, n_valid: jax.Array,
     the exact FIR and the 4-sample bit slotting into that kernel, so
     the filtered array and the per-sample bit stream never touch HBM
     (still bit-identical; same shape constraints; implies exact FIR).
+    fused_pipeline folds the HDLC deframer in as well: raw samples ->
+    frame snapshots in ONE kernel, no intermediate array in HBM at all.
     """
     t = samples.shape[1]
+    if fused_pipeline:
+        from gnuais_tpu.ops.fused import pipeline_fused
+        (cand_valid, cw, cl, cs, lost2, over,
+         history, dpll_state, hdlc_state) = pipeline_fused(
+            samples, n_valid, carry.history, carry.dpll, carry.hdlc,
+            block_base=block_base)
+        frames = demod.compact_candidates(
+            demod.init_frames(samples.shape[0], frame_slots),
+            cand_valid, cw, cl, cs, lost2=lost2, over=over)
+        peak = fir.block_peak(samples)
+        return (PipelineCarry(history, dpll_state, hdlc_state),
+                frames, peak)
     if fused_frontend:
         from gnuais_tpu.ops.fused import frontend_fused
         assert t % 4 == 0
@@ -152,8 +167,9 @@ class BatchPipeline:
 
     def __init__(self, n_streams: int, block_len: int = 49_152,
                  frame_slots: int = 32, exact_fir: bool = True,
-                 fast_dpll: bool = False, fused_frontend: bool = False):
-        if fast_dpll or fused_frontend:
+                 fast_dpll: bool = False, fused_frontend: bool = False,
+                 fused_pipeline: bool = False):
+        if fast_dpll or fused_frontend or fused_pipeline:
             assert block_len % 512 == 0 and n_streams <= 1024, \
                 "fast path: block_len % 512 == 0, <= 1024 streams/call"
         self.n_streams = n_streams
@@ -162,6 +178,7 @@ class BatchPipeline:
         self.exact_fir = exact_fir
         self.fast_dpll = fast_dpll
         self.fused_frontend = fused_frontend
+        self.fused_pipeline = fused_pipeline
         self.carry = init_carry(n_streams)
         self.counters = [StreamCounters() for _ in range(n_streams)]
 
@@ -175,7 +192,8 @@ class BatchPipeline:
         self.carry, frames, _peak = decode_block(
             jnp.asarray(samples), jnp.int32(n), self.carry,
             frame_slots=self.frame_slots, exact_fir=self.exact_fir,
-            fast_dpll=self.fast_dpll, fused_frontend=self.fused_frontend)
+            fast_dpll=self.fast_dpll, fused_frontend=self.fused_frontend,
+            fused_pipeline=self.fused_pipeline)
         per_stream = extract_frames(frames)
         lost2 = np.asarray(frames.lost2)
         dropped = np.asarray(frames.dropped)

@@ -1,0 +1,119 @@
+"""Fully fused FIR+DPLL+slotting+HDLC kernel vs the exact chain
+(interpreter on CPU; the same code path runs compiled on TPU)."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from gnuais_tpu.golden import encoder as E
+from gnuais_tpu.golden.model import GoldenReceiver
+from gnuais_tpu.runtime.pipeline import (BatchPipeline, decode_block,
+                                         init_carry)
+
+
+def _noisy_batch(s, t, seed=0, n_payloads=3, gap_bits=48):
+    rng = np.random.default_rng(seed)
+    audio = E.synthesize_capture(
+        [E.random_payload(rng) for _ in range(n_payloads)],
+        gap_bits=gap_bits)
+    x = np.zeros((s, t), dtype=np.int16)
+    for i in range(s):
+        n = min(len(audio), t)
+        x[i, :n] = np.roll(audio[:n], i * 13)
+    noise = rng.normal(0, 300, x.shape)
+    return np.clip(x + noise, -32768, 32767).astype(np.int16)
+
+
+def _frames_equal(fa, fb):
+    ca, cb = np.asarray(fa.count), np.asarray(fb.count)
+    assert np.array_equal(ca, cb), (ca, cb)
+    assert np.array_equal(np.asarray(fa.lost2), np.asarray(fb.lost2))
+    assert np.array_equal(np.asarray(fa.dropped), np.asarray(fb.dropped))
+    wa, wb = np.asarray(fa.words), np.asarray(fb.words)
+    la, lb = np.asarray(fa.length), np.asarray(fb.length)
+    sa, sb = np.asarray(fa.start), np.asarray(fb.start)
+    for s in range(ca.shape[0]):
+        k = ca[s]
+        assert np.array_equal(wa[s, :k], wb[s, :k])
+        assert np.array_equal(la[s, :k], lb[s, :k])
+        assert np.array_equal(sa[s, :k], sb[s, :k])
+
+
+def _carry_equal(a, b):
+    assert np.array_equal(np.asarray(a.history), np.asarray(b.history))
+    for x, y in zip(a.dpll, b.dpll):
+        assert np.array_equal(np.asarray(x), np.asarray(y))
+    for x, y in zip(a.hdlc, b.hdlc):
+        assert np.array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_fused_pipeline_matches_exact_bitexact():
+    s, t = 8, 2048
+    x = _noisy_batch(s, t)
+    c0 = init_carry(s)
+    c1, f1, p1 = decode_block(jnp.asarray(x), jnp.int32(t), c0,
+                              frame_slots=16)
+    c2, f2, p2 = decode_block(jnp.asarray(x), jnp.int32(t), c0,
+                              frame_slots=16, fused_pipeline=True)
+    _frames_equal(f1, f2)
+    _carry_equal(c1, c2)
+    assert np.array_equal(np.asarray(p1), np.asarray(p2))
+
+
+def test_fused_pipeline_chained_blocks_short_tail():
+    """Chained blocks with a short (masked) final block and nonzero
+    block_base: carries and frame start positions must track the exact
+    path through partial-frame hand-offs."""
+    s, t = 4, 1024
+    x = _noisy_batch(s, 3 * t, seed=3, n_payloads=4, gap_bits=24)
+    ca = init_carry(s)
+    cb = ca
+    for blk in range(3):
+        xb = x[:, blk * t:(blk + 1) * t]
+        nv = t if blk < 2 else 700
+        ca, fa, _ = decode_block(jnp.asarray(xb), jnp.int32(nv), ca,
+                                 frame_slots=16, block_base=blk * t)
+        cb, fb, _ = decode_block(jnp.asarray(xb), jnp.int32(nv), cb,
+                                 frame_slots=16, block_base=blk * t,
+                                 fused_pipeline=True)
+        _frames_equal(fa, fb)
+        _carry_equal(ca, cb)
+
+
+def test_fused_pipeline_dense_frames_mini_slots():
+    """Back-to-back frames (minimum gaps) exercise two completions per
+    64-slot HDLC chunk — the mini-buffer depth bound."""
+    rng = np.random.default_rng(9)
+    payloads = [E.random_payload(rng, msg_type=1) for _ in range(12)]
+    audio = E.synthesize_capture(payloads, gap_bits=1, lead_in_bits=32)
+    t = (len(audio) + 511) // 512 * 512
+    x = np.zeros((2, t), dtype=np.int16)
+    x[:, :len(audio)] = audio
+    c0 = init_carry(2)
+    c1, f1, _ = decode_block(jnp.asarray(x), jnp.int32(len(audio)), c0,
+                             frame_slots=32)
+    c2, f2, _ = decode_block(jnp.asarray(x), jnp.int32(len(audio)), c0,
+                             frame_slots=32, fused_pipeline=True)
+    assert int(np.asarray(f1.count)[0]) == 12
+    _frames_equal(f1, f2)
+    _carry_equal(c1, c2)
+
+
+def test_fused_pipeline_end_to_end_vs_golden():
+    rng = np.random.default_rng(7)
+    payloads = [E.random_payload(rng) for _ in range(8)]
+    audio = E.synthesize_capture(payloads, gap_bits=48)
+    g = GoldenReceiver("A")
+    gf = g.run_block(audio)
+
+    pipe = BatchPipeline(1, block_len=4096, frame_slots=64,
+                         fused_pipeline=True)
+    got = []
+    for off in range(0, len(audio), 4096):
+        got += pipe.process(audio[None, off:off + 4096])[0]
+    c = pipe.counters[0]
+    assert (c.receivedframes, c.lostframes, c.lostframes2) == g.counters
+    assert len(got) == len(gf)
+    for a, b in zip(gf, got):
+        assert np.array_equal(a.payload_bits[:a.bufferlen],
+                              b.payload_bits[:b.bufferlen])
