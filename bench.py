@@ -87,10 +87,11 @@ def run_bench(n_streams: int = 256, block_len: int = 49_152,
     carry = pl.init_carry(n_streams)
 
     def step(c):
-        # fused_frontend = single Pallas kernel for FIR+DPLL+bit slotting
-        # (bit-identical to the exact chain; ~1.7x the fast_dpll path)
+        # fused_pipeline = ONE Pallas kernel for FIR+DPLL+slotting+HDLC
+        # (bit-identical to the exact chain; raw samples -> frame
+        # candidates with no intermediate array in HBM)
         return pl.decode_block(xj, nv, c, frame_slots=32,
-                               exact_fir=True, fused_frontend=fast)
+                               exact_fir=True, fused_pipeline=fast)
 
     # compile + correctness check
     carry1, frames, _ = step(carry)

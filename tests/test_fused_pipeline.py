@@ -94,7 +94,13 @@ def test_fused_pipeline_dense_frames_mini_slots():
                              frame_slots=32)
     c2, f2, _ = decode_block(jnp.asarray(x), jnp.int32(len(audio)), c0,
                              frame_slots=32, fused_pipeline=True)
-    assert int(np.asarray(f1.count)[0]) == 12
+    # The zero-gap preamble hunt can legitimately lose a frame (same as
+    # the reference); the count must match the golden model, and stay
+    # dense enough to exercise multiple completions per 64-slot chunk.
+    g = GoldenReceiver("A")
+    golden_n = len(g.run_block(audio))
+    assert int(np.asarray(f1.count)[0]) == golden_n
+    assert golden_n >= 11
     _frames_equal(f1, f2)
     _carry_equal(c1, c2)
 
