@@ -148,12 +148,31 @@ def dpll_pallas_tiles(filtered_tiles: jax.Array, n_valid: jax.Array,
 
 
 def _to_tiles(x: jax.Array) -> Tuple[jax.Array, int]:
-    """[S, T] -> [T, 8, 128] float32 tiles (S padded to 1024)."""
+    """[S, T] -> [T, 8, 128] tiles (S padded to 1024), dtype preserved.
+
+    Keeping int16 input at int16 halves the HBM traffic of this
+    transpose (the kernels convert to float32 per-register-tile)."""
     s, t = x.shape
     assert s <= TILE_STREAMS, "grid over stream tiles handled by caller"
     pad = TILE_STREAMS - s
-    xp = jnp.pad(x.astype(jnp.float32), ((0, pad), (0, 0)))
+    xp = jnp.pad(x, ((0, pad), (0, 0)))
     return xp.T.reshape(t, SUBLANES, LANES), pad
+
+
+def _carry_history(samples: jax.Array, history: jax.Array,
+                   n_valid: jax.Array) -> jax.Array:
+    """Last FIR_LEN valid raw samples as float32 [S, 36] — without
+    materializing concat(history, samples) (that intermediate is as big
+    as the block itself).  full = [history | samples]; the wanted window
+    full[nv : nv+36] lies either inside samples (nv >= 36) or inside
+    the first 72 columns (nv < 36), so a clamped 36-column slice of
+    samples plus one 72-wide concat covers both cases."""
+    nv = jnp.asarray(n_valid, dtype=jnp.int32)
+    tail = jax.lax.dynamic_slice_in_dim(
+        samples, nv - C.FIR_LEN, C.FIR_LEN, axis=1).astype(jnp.float32)
+    small = jnp.concatenate([history, tail], axis=1)    # [S, 72]
+    return jax.lax.dynamic_slice_in_dim(
+        small, jnp.minimum(nv, C.FIR_LEN), C.FIR_LEN, axis=1)
 
 
 def _state_to_tiles(v: jax.Array) -> jax.Array:
@@ -199,7 +218,8 @@ def _frontend_kernel(nvalid_ref, x_ref, pll_in, prev_in, last_in, hist_in,
 
     def body(u, _):
         base = u * unroll
-        x8 = x_ref[pl.ds(base, unroll)]            # [UNROLL, 8, 128] raw
+        # [UNROLL, 8, 128] raw (int16 or f32 input; f32 convert is exact)
+        x8 = x_ref[pl.ds(base, unroll)].astype(jnp.float32)
         # sliding window: 36 history tiles + the unroll chunk
         win = [hist[i] for i in range(C.FIR_LEN)]
         win += [x8[k] for k in range(unroll)]
@@ -267,8 +287,7 @@ def frontend_fused(samples: jax.Array, n_valid: jax.Array,
     s, t = samples.shape
     assert t % time_chunk == 0 and time_chunk % unroll == 0 \
         and unroll % 4 == 0, (t, time_chunk, unroll)
-    xf = samples.astype(jnp.float32)
-    tiles, _pad = _to_tiles(xf)
+    tiles, _pad = _to_tiles(samples)
     hist_t = jnp.pad(history, ((0, TILE_STREAMS - s), (0, 0))) \
         .T.reshape(C.FIR_LEN, SUBLANES, LANES)
     grid = (t // time_chunk,)
