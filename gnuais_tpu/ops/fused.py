@@ -345,9 +345,7 @@ def frontend_fused(samples: jax.Array, n_valid: jax.Array,
 
     # carried history: last 36 valid raw samples (computed in XLA — the
     # kernel's in-flight history sees pad zeros past n_valid)
-    x = jnp.concatenate([history, xf], axis=1)
-    new_history = jax.lax.dynamic_slice_in_dim(
-        x, jnp.asarray(n_valid, dtype=jnp.int32), C.FIR_LEN, axis=1)
+    new_history = _carry_history(samples, history, n_valid)
 
     new_state = DpllState(
         pll=_tiles_to_state(pll2, s),
@@ -794,9 +792,7 @@ def pipeline_fused(samples: jax.Array, n_valid: jax.Array,
 
     # carried FIR history: last 36 valid raw samples (XLA side — the
     # kernel's in-flight history sees pad zeros past n_valid)
-    x = jnp.concatenate([history, xf], axis=1)
-    new_history = jax.lax.dynamic_slice_in_dim(
-        x, jnp.asarray(n_valid, dtype=jnp.int32), C.FIR_LEN, axis=1)
+    new_history = _carry_history(samples, history, n_valid)
 
     new_dpll = DpllState(
         pll=_tiles_to_state(pll2, s),
