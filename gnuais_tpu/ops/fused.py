@@ -168,8 +168,12 @@ def _carry_history(samples: jax.Array, history: jax.Array,
     the first 72 columns (nv < 36), so a clamped 36-column slice of
     samples plus one 72-wide concat covers both cases."""
     nv = jnp.asarray(n_valid, dtype=jnp.int32)
+    # Clamp the tail start: dynamic_slice's allow_negative_indices would
+    # wrap nv - 36 < 0 to the END of the block (pad region), corrupting
+    # the carried history for short final blocks (n_valid < 36).
     tail = jax.lax.dynamic_slice_in_dim(
-        samples, nv - C.FIR_LEN, C.FIR_LEN, axis=1).astype(jnp.float32)
+        samples, jnp.maximum(nv - C.FIR_LEN, 0), C.FIR_LEN,
+        axis=1).astype(jnp.float32)
     small = jnp.concatenate([history, tail], axis=1)    # [S, 72]
     return jax.lax.dynamic_slice_in_dim(
         small, jnp.minimum(nv, C.FIR_LEN), C.FIR_LEN, axis=1)

@@ -89,6 +89,25 @@ def test_frontend_short_block_masking():
         assert np.array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_frontend_short_block_history_carry():
+    """n_valid < FIR_LEN: the carried history must splice history+samples,
+    not wrap to the pad region (regression: dynamic_slice negative-index
+    wraparound in _carry_history)."""
+    s, t = 4, 512
+    x = _noisy_batch(s, t, seed=5)
+    for nv in (0, 1, 35):
+        hist = fir.init_history(s) + 7.0   # non-zero so splices are visible
+        dpll = demod.init_dpll(s)
+        gb1, gv1, gp1, h1, st1 = _reference_chain(x, nv, hist, dpll)
+        gb2, gv2, gp2, h2, st2 = frontend_fused(
+            jnp.asarray(x), jnp.int32(nv), hist, dpll)
+        assert np.array_equal(np.asarray(h1), np.asarray(h2)), nv
+        gv = np.asarray(gv1)
+        assert np.array_equal(gv, np.asarray(gv2)), nv
+        for a, b in zip(st1, st2):
+            assert np.array_equal(np.asarray(a), np.asarray(b)), nv
+
+
 def test_fused_frontend_pipeline_end_to_end():
     rng = np.random.default_rng(7)
     payloads = [E.random_payload(rng) for _ in range(8)]

@@ -80,6 +80,26 @@ def test_fused_pipeline_chained_blocks_short_tail():
         _carry_equal(ca, cb)
 
 
+def test_fused_pipeline_tiny_final_block_history():
+    """n_valid < FIR_LEN (36) on the final block: carried FIR history
+    must splice [history | samples], not read the pad tail (regression
+    for the _carry_history negative-index wraparound)."""
+    s, t = 2, 512
+    x = _noisy_batch(s, 2 * t, seed=11)
+    for nv in (1, 35):
+        ca = init_carry(s)
+        cb = ca
+        for blk, n in ((0, t), (1, nv)):
+            xb = x[:, blk * t:(blk + 1) * t]
+            ca, fa, _ = decode_block(jnp.asarray(xb), jnp.int32(n), ca,
+                                     frame_slots=16, block_base=blk * t)
+            cb, fb, _ = decode_block(jnp.asarray(xb), jnp.int32(n), cb,
+                                     frame_slots=16, block_base=blk * t,
+                                     fused_pipeline=True)
+            _frames_equal(fa, fb)
+            _carry_equal(ca, cb)
+
+
 def test_fused_pipeline_dense_frames_mini_slots():
     """Back-to-back frames (minimum gaps) exercise two completions per
     64-slot HDLC chunk — the mini-buffer depth bound."""
