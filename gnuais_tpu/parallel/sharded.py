@@ -6,25 +6,53 @@ zero collectives in steady state, which is the whole point: AIS streams
 are embarrassingly parallel and the mesh should only pay ICI for
 control/stats).
 
-``make_multichip_step``: the full 2-D (streams x time) step — FIR is
-time-sharded with ppermute halo exchange (exact overlap-save), then the
-sequential decoder runs stream-sharded on the gathered filtered block.
-This is the shape the multi-chip dryrun compiles and the template for
-true time-parallel decode.
+``make_multichip_step``: the full 2-D (streams x time) step — true
+sequence parallelism by overlap-resync (the design proven bit-for-bit
+in ``parallel.timepar``, here run ON the mesh): every time shard
+decodes its own extended window [lead overlap | local block | tail
+extension] entirely locally, the overlap/extension raw samples arrive
+from neighbors via ``ppermute`` over ICI, and each completed frame is
+kept by exactly one shard — the one whose own region contains the
+frame's data-start sample.  No filtered samples, bits, or frames are
+ever gathered along the time axis; the only time-axis traffic is the
+two raw-sample halos.
+
+Why this is exact: the DPLL re-locks within a few dozen transitions and
+the HDLC deframer re-arms at the next preamble (receiver.c:87-135,
+protodec.c:988-1121 have no long-range state beyond one frame), so a
+decoder cold-started ``overlap`` samples before its own region has
+converged to the continuous decoder's trajectory by the time any owned
+frame's preamble begins; the tail extension lets frames that *start*
+near the region end run to completion.  Defaults give >1 max frame
+(~2.8k samples) of margin on both sides.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Callable, Tuple
+from typing import Callable, List, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from gnuais_tpu import constants as C
+from gnuais_tpu.golden.model import Frame
 from gnuais_tpu.ops import demod
 from gnuais_tpu.parallel.halo import fir_time_sharded
 from gnuais_tpu.runtime import pipeline as pl
+
+DEFAULT_OVERLAP = 4096      # lead overlap: DPLL lock + max frame
+DEFAULT_EXTENSION = 3072    # tail extension: > max frame
+
+# A resynced DPLL can lock a sample or two off the continuous chain's
+# emission phase, so a frame's recorded data start jitters by +-2
+# samples between the two shards that both decode it.  Ownership keeps
+# a margin around the own region and the drain dedups by proximity:
+# distinct frames are >= ~235 samples apart (>= 47 bit slots, see
+# demod.HDLC_CHUNK note), so a 2*OWN_MARGIN window is unambiguous.
+OWN_MARGIN = 16
 
 
 def make_sharded_decode(mesh: Mesh, frame_slots: int = 32,
@@ -44,34 +72,177 @@ def make_sharded_decode(mesh: Mesh, frame_slots: int = 32,
     return jax.jit(sharded)
 
 
+class TimeParFrames(NamedTuple):
+    """Owned-frame outputs of one 2-D mesh step.
+
+    Slot axis is time-shard-major: stream ``s``'s frames from time shard
+    ``j`` occupy slots ``[j*F, j*F + count[s, j])`` in arrival order, so
+    reading shard blocks left to right yields frames ordered by start
+    position (each shard's owned region precedes the next's)."""
+    words: jax.Array     # [S, nt*F, REG_WORDS] uint32 register snapshots
+    length: jax.Array    # [S, nt*F] int32 payload bit count
+    start: jax.Array     # [S, nt*F] int32 absolute data-start sample
+    count: jax.Array     # [S, nt] int32 owned frames per time shard
+    lost2: jax.Array     # [S, nt] int32 bad stop flags (overlap regions
+    #                      double-count: diagnostic, not parity-exact)
+    peak: jax.Array      # [S, nt] int32 raw-sample peak per shard
+
+
 def make_multichip_step(mesh: Mesh, frame_slots: int = 32,
-                        exact_fir: bool = True) -> Callable:
-    """2-D mesh step: FIR halo-exchanged along ``time``, decoder sharded
-    along ``streams`` (filtered block gathered across the time axis)."""
+                        overlap: int = DEFAULT_OVERLAP,
+                        extension: int = DEFAULT_EXTENSION,
+                        exact_fir: bool = True,
+                        fast_dpll: bool = False,
+                        fused_pipeline: bool = False) -> Callable:
+    """2-D mesh step: streams data-parallel x time sequence-parallel.
 
-    def demod_body(filtered, n_valid, dpll, hdlc):
-        t = filtered.shape[1]
-        sample_valid = jnp.arange(t) < n_valid
-        bit_valid, bits, dpll2 = demod.dpll_scan(filtered, sample_valid, dpll)
-        bitrows, slot_valid, pos_rows = demod.group_reduce_bits(
-            bit_valid, bits)
-        frames0 = demod.init_frames(filtered.shape[0], frame_slots)
-        hdlc2, frames = demod.hdlc_scan(bitrows, slot_valid, hdlc, frames0,
-                                        pos_rows)
-        return dpll2, hdlc2, frames
+    Returns jitted ``step(samples, valid_end, global_base, prev_tail,
+    next_head) -> TimeParFrames`` where
 
-    demod_sharded = jax.shard_map(
-        demod_body, mesh=mesh,
-        in_specs=(P("streams", None), P(), P("streams"), P("streams")),
-        out_specs=(P("streams"), P("streams"), P("streams")),
+      samples    int16 [S, Tg]  sharded P("streams", "time");
+                 Tg % n_time == 0 and Tg/n_time >= max(overlap, extension)
+      valid_end  scalar int32: absolute sample count that is real data
+                 (window positions at or past it are masked, exactly as
+                 decode_block's n_valid masks padded short blocks)
+      global_base scalar int32: absolute position of samples[:, 0]
+                 (frame starts come out globally absolute)
+      prev_tail  int16 [S, overlap]: the ``overlap`` samples preceding
+                 samples[:, 0] (zeros at stream start) — consumed by
+                 time shard 0 in place of a left neighbor
+      next_head  int16 [S, extension]: the samples following the block
+                 (zeros at stream end) — consumed by the last shard
+
+    A streaming caller chains super-blocks exactly by handing each
+    block's edges to its neighbors (see timepar.TimeParSession); frames
+    are owned by the super-block AND time shard whose region contains
+    their data start, so the union over shards and super-blocks is
+    duplicate-free.
+    """
+    nt = mesh.shape["time"]
+
+    def body(samples, valid_end, global_base, prev_tail, next_head):
+        s_loc, t_loc = samples.shape
+        assert t_loc >= overlap and t_loc >= extension, \
+            (t_loc, overlap, extension)
+        ti = jax.lax.axis_index("time")
+
+        # raw-sample halos over ICI: tail -> right neighbor (lead
+        # overlap), head -> left neighbor (tail extension)
+        tail = samples[:, t_loc - overlap:]
+        head = samples[:, :extension]
+        if nt > 1:
+            from_left = jax.lax.ppermute(
+                tail, "time", [(i, i + 1) for i in range(nt - 1)])
+            from_right = jax.lax.ppermute(
+                head, "time", [(i, i - 1) for i in range(1, nt)])
+        else:
+            from_left = jnp.zeros_like(tail)
+            from_right = jnp.zeros_like(head)
+        from_left = jnp.where(ti == 0, prev_tail, from_left)
+        from_right = jnp.where(ti == nt - 1, next_head, from_right)
+        win = jnp.concatenate([from_left, samples, from_right], axis=1)
+
+        base = global_base + ti * t_loc - overlap   # abs pos of win[:, 0]
+        local_nv = jnp.clip(valid_end - base, 0, win.shape[1])
+
+        carry0 = pl.init_carry(s_loc)
+        _carry, frames, peak = pl.decode_block(
+            win, local_nv, carry0, frame_slots=frame_slots,
+            exact_fir=exact_fir, fast_dpll=fast_dpll,
+            fused_pipeline=fused_pipeline, block_base=base)
+
+        # ownership: keep frames whose data start lies in the own region
+        # (with jitter margin; the drain dedups boundary duplicates)
+        own_lo = global_base + ti * t_loc - OWN_MARGIN
+        own_hi = global_base + (ti + 1) * t_loc + OWN_MARGIN
+        slots = jnp.arange(frames.start.shape[1])
+        present = slots[None, :] < frames.count[:, None]
+        owned = present & (frames.start >= own_lo) & (frames.start < own_hi)
+        out = demod.compact_candidates(
+            demod.init_frames(s_loc, frame_slots), owned,
+            frames.words, frames.length, frames.start,
+            lost2=frames.lost2, over=frames.dropped)
+        return (out.words, out.length, out.start, out.count[:, None],
+                out.lost2[:, None], peak[:, None])
+
+    sharded = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P("streams", "time"), P(), P(),
+                  P("streams", None), P("streams", None)),
+        out_specs=(P("streams", "time", None), P("streams", "time"),
+                   P("streams", "time"), P("streams", "time"),
+                   P("streams", "time"), P("streams", "time")),
         check_vma=False,
     )
 
-    def step(samples, n_valid, carry: pl.PipelineCarry):
-        filtered, new_hist = fir_time_sharded(samples, carry.history, mesh,
-                                              exact=exact_fir)
-        dpll2, hdlc2, frames = demod_sharded(filtered, n_valid,
-                                             carry.dpll, carry.hdlc)
-        return pl.PipelineCarry(new_hist, dpll2, hdlc2), frames
+    def step(samples, valid_end, global_base, prev_tail, next_head):
+        w, l, st, cnt, l2, pk = sharded(samples, valid_end, global_base,
+                                        prev_tail, next_head)
+        return TimeParFrames(w, l, st, cnt, l2, pk)
 
     return jax.jit(step)
+
+
+def dedup_by_start(seq: List[Tuple[int, Frame]],
+                   prev_start: int | None = None
+                   ) -> List[Tuple[int, Frame]]:
+    """Drop boundary duplicates: a frame whose start is within
+    2*OWN_MARGIN of the previously kept frame is the same frame decoded
+    by the neighboring shard (distinct frames are >= ~235 samples
+    apart).  ``prev_start`` chains the dedup across super-blocks."""
+    out: List[Tuple[int, Frame]] = []
+    last = prev_start if prev_start is not None else -(10 ** 9)
+    for st, f in seq:
+        if st <= last + 2 * OWN_MARGIN:
+            continue
+        out.append((st, f))
+        last = st
+    return out
+
+
+def drain_timepar_frames(tp: TimeParFrames, frame_slots: int,
+                         prev_starts: List[int] | None = None
+                         ) -> List[List[Tuple[int, Frame]]]:
+    """Host drain of a TimeParFrames: per stream, CRC-passing frames as
+    (absolute_start, Frame) ordered by start position, boundary
+    duplicates removed.  Time-shard slot blocks are flattened through
+    the native drain by treating (stream, shard) pairs as
+    pseudo-streams.  ``prev_starts`` (per stream) chains duplicate
+    removal across streamed super-blocks."""
+    words = np.asarray(tp.words)
+    length = np.asarray(tp.length)
+    start = np.asarray(tp.start)
+    count = np.asarray(tp.count)
+    s, nt = count.shape
+    w = words.reshape(s * nt, frame_slots, words.shape[-1])
+    ln = length.reshape(s * nt, frame_slots)
+    ct = count.reshape(s * nt)
+
+    out: List[List[Tuple[int, Frame]]] = [[] for _ in range(s)]
+    from gnuais_tpu import native
+    if native.available():
+        seen = np.zeros(s * nt, dtype=np.int64)   # arrival index per pair
+        for ps, payload, flen, ok in native.drain_frames(w, ln, ct):
+            slot = int(seen[ps])
+            seen[ps] += 1
+            if not ok:
+                continue
+            stream, shard = divmod(ps, nt)
+            out[stream].append(
+                (int(start[stream, shard * frame_slots + slot]),
+                 Frame(payload, flen, True)))
+    else:
+        from gnuais_tpu.golden.model import crc_check_and_extract
+        for stream in range(s):
+            for shard in range(nt):
+                base = shard * frame_slots
+                for k in range(int(count[stream, shard])):
+                    flen = int(length[stream, base + k])
+                    raw = pl._reg_to_bits(words[stream, base + k],
+                                          flen + C.FRAME_TAIL_BITS)
+                    ok, payload = crc_check_and_extract(raw, flen)
+                    if ok:
+                        out[stream].append((int(start[stream, base + k]),
+                                            Frame(payload, flen, True)))
+    return [dedup_by_start(lst, prev_starts[i] if prev_starts else None)
+            for i, lst in enumerate(out)]
