@@ -29,6 +29,7 @@ bits * 5 samples < 3000 samples; DPLL lock < 1000 samples of traffic.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
@@ -58,35 +59,52 @@ def _plan(n: int, chunk_len: int, overlap: int, ext: int) -> int:
     return max(1, -(-n // own))
 
 
+@functools.partial(jax.jit, static_argnames=("k", "win", "chunk_len",
+                                             "overlap"))
+def _gather_lanes(stream: jax.Array, k: int, win: int, chunk_len: int,
+                  overlap: int) -> jax.Array:
+    """[n] -> [K, win] overlapped chunk windows, on device: one gather
+    instead of K host copies (the host loop was tunnel-transfer bound
+    at the 50 M-sample scale)."""
+    n = stream.shape[0]
+    idx = (jnp.arange(k, dtype=jnp.int32)[:, None] * chunk_len - overlap
+           + jnp.arange(win, dtype=jnp.int32)[None, :])
+    inside = (idx >= 0) & (idx < n)
+    return jnp.where(inside, stream[jnp.clip(idx, 0, n - 1)],
+                     jnp.int16(0))
+
+
 def time_parallel_decode(stream: np.ndarray, chunk_len: int = 65_536,
                          overlap: int = DEFAULT_OVERLAP,
                          extension: int = DEFAULT_EXTENSION,
                          frame_slots: int = 64,
-                         fast_dpll: bool = False) -> TimeParallelResult:
+                         fast_dpll: bool = False,
+                         fused_pipeline: bool | None = None
+                         ) -> TimeParallelResult:
     """Decode one int16 stream with K parallel chunk lanes.
 
     Returns CRC-passing frames ordered by absolute start position.
+    fused_pipeline=None selects the fully fused Pallas kernel on TPU
+    (the lanes are exactly the batch axis it was built for) and the
+    exact XLA chain elsewhere.
     """
+    if fused_pipeline is None:
+        fused_pipeline = (jax.default_backend() == "tpu"
+                          and not fast_dpll)
     n = len(stream)
     k = _plan(n, chunk_len, overlap, extension)
     win = overlap + chunk_len + extension
-    if fast_dpll:
+    if fast_dpll or fused_pipeline:
         win = -(-win // 512) * 512
+        assert k <= 1024, "lane count beyond one stream tile"
 
-    # gather chunk windows [K, win]; out-of-range -> zeros
-    lanes = np.zeros((k, win), dtype=np.int16)
-    for i in range(k):
-        a = i * chunk_len - overlap
-        b = a + win
-        lo, hi = max(a, 0), min(b, n)
-        if hi > lo:
-            lanes[i, lo - a: hi - a] = stream[lo:hi]
+    lanes = _gather_lanes(jnp.asarray(stream), k, win, chunk_len, overlap)
 
     carry = pl.init_carry(k)
     carry, frames, _ = pl.decode_block(
-        jnp.asarray(lanes), jnp.int32(win), carry,
+        lanes, jnp.int32(win), carry,
         frame_slots=frame_slots, exact_fir=True, fast_dpll=fast_dpll,
-        block_base=0)
+        fused_pipeline=fused_pipeline, block_base=0)
 
     # drain + own-region filter
     start = np.asarray(frames.start)

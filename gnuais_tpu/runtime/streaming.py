@@ -30,10 +30,13 @@ class PipelinedDecoder:
 
     def __init__(self, n_streams: int, block_len: int = 49_152,
                  frame_slots: int = 32, fast_dpll: bool = False,
+                 fused_frontend: bool = False, fused_pipeline: bool = False,
                  depth: int = 2):
         self.pipe = pl.BatchPipeline(n_streams, block_len=block_len,
                                      frame_slots=frame_slots,
-                                     fast_dpll=fast_dpll)
+                                     fast_dpll=fast_dpll,
+                                     fused_frontend=fused_frontend,
+                                     fused_pipeline=fused_pipeline)
         self.depth = depth
         self._pending: Deque = deque()
 
@@ -50,7 +53,8 @@ class PipelinedDecoder:
         p.carry, frames, _peak = pl.decode_block(
             jnp.asarray(samples), jnp.int32(n), p.carry,
             frame_slots=p.frame_slots, exact_fir=p.exact_fir,
-            fast_dpll=p.fast_dpll)
+            fast_dpll=p.fast_dpll, fused_frontend=p.fused_frontend,
+            fused_pipeline=p.fused_pipeline)
         return frames
 
     def _drain_one(self) -> List[List[Frame]]:
