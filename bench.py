@@ -69,7 +69,8 @@ def _enable_compile_cache():
 
 def run_bench(n_streams: int = 256, block_len: int = 49_152,
               iters: int = 10, fast: bool = True,
-              frames_per_stream: int = 4):
+              frames_per_stream: int = 4, device_crc: bool = False,
+              scaling: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -79,6 +80,7 @@ def run_bench(n_streams: int = 256, block_len: int = 49_152,
 
     on_tpu = jax.default_backend() == "tpu"
     fast = fast and on_tpu
+    device_crc = device_crc and fast
 
     batch, n_payloads = build_batch(n_streams, block_len,
                                     frames_per_stream)
@@ -89,9 +91,12 @@ def run_bench(n_streams: int = 256, block_len: int = 49_152,
     def step(c):
         # fused_pipeline = ONE Pallas kernel for FIR+DPLL+slotting+HDLC
         # (bit-identical to the exact chain; raw samples -> frame
-        # candidates with no intermediate array in HBM)
+        # candidates with no intermediate array in HBM; stream tiles
+        # beyond 1024 ride the kernel grid); device_crc filters frame
+        # candidates on device so only CRC-passing frames drain
         return pl.decode_block(xj, nv, c, frame_slots=32,
-                               exact_fir=True, fused_pipeline=fast)
+                               exact_fir=True, fused_pipeline=fast,
+                               device_crc=device_crc)
 
     # compile + correctness check
     carry1, frames, _ = step(carry)
@@ -107,10 +112,61 @@ def run_bench(n_streams: int = 256, block_len: int = 49_152,
         c, frames, _ = step(c)
     jax.block_until_ready((c, frames))
     dt = (time.time() - t0) / iters
-    return n_streams * block_len / dt
+    sps = n_streams * block_len / dt
+
+    extra = {}
+    if scaling:
+        extra = _measure_scaling(sps, n_streams, block_len, iters,
+                                 fast, device_crc, xj, nv)
+    return sps, extra
+
+
+def _measure_scaling(sps_1chip, n_streams, block_len, iters, fast,
+                     device_crc, xj, nv):
+    """BASELINE.md asks for samples/s/chip at 1 and N chips: run the
+    stream-sharded step over every local device and report parallel
+    efficiency vs the single-chip rate."""
+    import jax
+
+    from gnuais_tpu.parallel import mesh as M
+    from gnuais_tpu.parallel.sharded import make_sharded_decode
+    from gnuais_tpu.runtime import pipeline as pl
+
+    n_dev = len(jax.devices())
+    if n_streams % n_dev:
+        return {}
+    try:
+        mesh = M.make_stream_mesh(n_dev)
+        fn = make_sharded_decode(mesh, frame_slots=32,
+                                 fused_pipeline=fast,
+                                 device_crc=device_crc)
+        xs = jax.device_put(xj, M.stream_sharding(mesh))
+        carry = jax.device_put(pl.init_carry(n_streams),
+                               M.carry_sharding(mesh))
+        c, frames, _ = fn(xs, nv, carry)
+        jax.block_until_ready(frames)
+        t0 = time.time()
+        for _ in range(iters):
+            c, frames, _ = fn(xs, nv, c)
+        jax.block_until_ready((c, frames))
+        dt = (time.time() - t0) / iters
+        sps_n = n_streams * block_len / dt
+        return {"scaling": {
+            "chips": n_dev,
+            "sps_1chip": round(sps_1chip, 1),
+            "sps_sharded": round(sps_n, 1),
+            "efficiency": round(sps_n / (n_dev * sps_1chip), 3),
+        }}
+    except Exception as e:
+        print(f"scaling measurement failed: {e!r}", file=sys.stderr)
+        return {}
 
 
 CONFIGS = [
+    dict(n_streams=4096, block_len=49_152, iters=10, device_crc=True,
+         scaling=True),
+    dict(n_streams=1024, block_len=49_152, iters=10, device_crc=True,
+         scaling=True),
     dict(n_streams=1024, block_len=49_152, iters=10),
     dict(n_streams=256, block_len=49_152, iters=10),
     dict(n_streams=64, block_len=12_288, iters=5),
@@ -123,14 +179,15 @@ CONFIGS = [
 PER_CONFIG_TIMEOUT = 900.0
 
 
-def _run_config_subprocess(idx: int) -> float:
+def _run_config_subprocess(idx: int):
     import subprocess
     r = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--config", str(idx)],
         capture_output=True, text=True, timeout=PER_CONFIG_TIMEOUT)
     for line in r.stdout.splitlines():
         if line.startswith("SPS "):
-            return float(line.split()[1])
+            payload = json.loads(line[4:])
+            return payload["sps"], payload.get("extra", {})
     raise RuntimeError(
         f"config {idx} subprocess failed: rc={r.returncode} "
         f"stderr={r.stderr[-300:]}")
@@ -140,13 +197,15 @@ def main() -> int:
     if len(sys.argv) >= 3 and sys.argv[1] == "--config":
         # child mode: run one config, print machine-readable result
         cfg = CONFIGS[int(sys.argv[2])]
-        print(f"SPS {run_bench(**cfg)}")
+        sps, extra = run_bench(**cfg)
+        print("SPS " + json.dumps({"sps": sps, "extra": extra}))
         return 0
 
     sps = None
+    extra = {}
     for idx, cfg in enumerate(CONFIGS):
         try:
-            sps = _run_config_subprocess(idx)
+            sps, extra = _run_config_subprocess(idx)
             break
         except Exception as e:
             print(f"bench config {cfg} failed: {e!r}", file=sys.stderr)
@@ -156,12 +215,14 @@ def main() -> int:
                           "vs_baseline": 0.0}))
         return 1
 
-    print(json.dumps({
+    out = {
         "metric": "aggregate_decode_samples_per_sec",
         "value": round(sps, 1),
         "unit": "samples/s",
         "vs_baseline": round(sps / BASELINE_SAMPLES_PER_SEC, 2),
-    }))
+    }
+    out.update(extra)
+    print(json.dumps(out))
     return 0
 
 

@@ -82,6 +82,96 @@ def crc_check_frames(words: jax.Array, payload_len: jax.Array) -> jax.Array:
     return ok & (payload_len > 0)
 
 
+# ---------------------------------------------------------------------------
+# Linear (GF(2)) CRC check: the TPU-native formulation.
+#
+# The byte-table CRC is an affine map over GF(2): final_crc =
+# INIT_PART(n_bytes) XOR (XOR over set data bits of a per-position
+# 16-bit weight).  Two observations make this gather-free on TPU:
+#
+#  * the HDLC shift register is END-ALIGNED (newest bit = LSB of the
+#    last word), and a bit's weight depends only on its distance from
+#    the frame end — so no per-frame realignment is needed at all;
+#  * for payload bits that distance maps to the byte structure through
+#    idx = p - r - 13 + 2*((r + 5 - p) mod 8) with r = payload_len % 8
+#    (derivation: payload bit at register position p from the end has
+#    in-byte index i = (r + 5 - p) mod 8 and (nb - k + 1) CRC'd bytes
+#    after it), so the whole weight matrix is a precomputed [8, 480]
+#    table selected by r.
+#
+# The check reduces to: XOR-reduce(bits * W[r]) == INIT[nb+2] ^ 0xF0B8
+# (residue 0x0f47 complemented).  Pure shifts, selects and an integer
+# XOR reduction — no scan, no table gathers, no take_along_axis.
+# ---------------------------------------------------------------------------
+
+def _crc_bytes_ref(data: bytes, init: int) -> int:
+    crc = init
+    tab = C.CRC_TABLE
+    for b in data:
+        crc = (crc >> 8) ^ int(tab[(crc ^ b) & 0xFF])
+    return crc & 0xFFFF
+
+
+def _build_linear_tables():
+    # BITW[ba*8 + i]: final-CRC effect (init 0) of data bit i set in a
+    # byte followed by ba zero bytes
+    bitw = np.zeros(60 * 8, dtype=np.uint32)
+    for ba in range(60):
+        for i in range(8):
+            bitw[ba * 8 + i] = _crc_bytes_ref(
+                bytes([1 << i]) + b"\x00" * ba, 0)
+    # INIT[L]: CRC of L zero bytes with init 0xffff
+    init = np.zeros(64, dtype=np.uint32)
+    for L in range(64):
+        init[L] = _crc_bytes_ref(b"\x00" * L, 0xFFFF)
+    # W8[r, p]: weight of register position p (0 = newest bit) for
+    # payload_len % 8 == r.  p in [6, 22) are the 16 FCS bits (fixed
+    # mapping); p >= 22 are payload bits, included iff p > 21 + r
+    # (whole-byte truncation drops the newest r payload bits) — their
+    # byte index idx is the closed form above.
+    w8 = np.zeros((8, REG_BITS), dtype=np.uint32)
+    for r in range(8):
+        for p in range(6, 22):
+            f = 21 - p                      # FCS bit number 0..15
+            w8[r, p] = bitw[(1 - f // 8) * 8 + (f % 8)]
+        for p in range(22 + r, REG_BITS):
+            i = (r + 5 - p) % 8
+            idx = p - r - 13 + 2 * i
+            if 0 <= idx < len(bitw):
+                w8[r, p] = bitw[idx]
+    return (jnp.asarray(w8), jnp.asarray(init),
+            jnp.asarray(bitw))
+
+
+_W8, _INIT_CRC, _BITW = _build_linear_tables()
+_CRC_TARGET = 0xF0B8    # residue 0x0f47 complemented (protodec.c:166)
+
+
+def crc_check_frames_linear(words: jax.Array,
+                            payload_len: jax.Array) -> jax.Array:
+    """Gather-free accept mask, bit-identical to crc_check_frames.
+
+    words: [F, REG_WORDS] uint32; payload_len: [F] int32.
+    """
+    f = words.shape[0]
+    # bits by position-from-end: word 14 bit 0 is p=0 -> reverse words,
+    # expand each word LSB-first
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = ((words[:, ::-1, None] >> shifts[None, None, :]) & 1) \
+        .astype(jnp.uint32).reshape(f, REG_BITS)
+    r = (payload_len % 8).astype(jnp.int32)
+    nbytes = payload_len // 8 + 2
+    # row select W8[r] (tiny gather of [F] rows) + in-frame mask
+    w = jnp.take(_W8, r, axis=0)                       # [F, 480]
+    p = jnp.arange(REG_BITS, dtype=jnp.int32)
+    inframe = p[None, :] < (payload_len + 22)[:, None]
+    masked = jnp.where(inframe, bits * w, 0)
+    crc_data = jax.lax.reduce(masked, np.uint32(0),
+                              jax.lax.bitwise_xor, (1,))
+    crc = crc_data ^ jnp.take(_INIT_CRC, jnp.clip(nbytes, 0, 63))
+    return (crc == _CRC_TARGET) & (payload_len > 0)
+
+
 def extract_payload_bits(words: jax.Array, payload_len: jax.Array) -> jax.Array:
     """Device-side payload extraction: MSB-first AIS order [F, 456]
     (whole bytes only, like rbuffer re-expansion protodec.c:150-162)."""

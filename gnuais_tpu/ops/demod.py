@@ -156,6 +156,10 @@ class FrameBatch(NamedTuple):
     count: jax.Array     # [S] int32 frames emitted
     lost2: jax.Array     # [S] int32 bad stop-sign frames (wrong size)
     dropped: jax.Array   # [S] int32 frames lost to slot overflow
+    # [S] int32 CRC-rejected frames filtered ON DEVICE (device_crc mode:
+    # snapshots in the slots are then all CRC-passing; the reference's
+    # lostframes counter = this value).  Zero in host-CRC mode.
+    crcfail: jax.Array
 
 
 def init_hdlc(n_streams: int) -> HdlcState:
@@ -174,7 +178,7 @@ def init_frames(n_streams: int, frame_slots: int) -> FrameBatch:
         words=jnp.zeros((n_streams, frame_slots, REG_WORDS), dtype=jnp.uint32),
         length=jnp.zeros((n_streams, frame_slots), dtype=jnp.int32),
         start=jnp.zeros((n_streams, frame_slots), dtype=jnp.int32),
-        count=z, lost2=z, dropped=z,
+        count=z, lost2=z, dropped=z, crcfail=z,
     )
 
 
@@ -433,4 +437,5 @@ def compact_candidates(frames: FrameBatch, cand_valid: jax.Array,
         count=jnp.minimum(frames.count + n_new, frame_slots),
         lost2=frames.lost2 + lost2,
         dropped=frames.dropped + n_over,
+        crcfail=frames.crcfail,
     )

@@ -40,14 +40,20 @@ _TAPS_F32 = [float(v) for v in np.asarray(C.FIR_TAPS, dtype=np.float32)]
 
 def _dpll_kernel(nvalid_ref, x_ref, pll_in, prev_in, last_in,
                  bits_ref, pll_out, prev_out, last_out, state,
-                 unroll: int = 32):
+                 unroll: int = 32, chunks_per_tile: int | None = None):
     """One grid step: TC time-tiles of [8, 128] streams.
 
     state: VMEM scratch [3, 8, 128] int32 persisting across grid steps
-    (TPU grid iterations run sequentially on the core).
+    (TPU grid iterations run sequentially on the core).  The 1-D grid
+    ranges over stream tiles x time chunks (time fastest):
+    ``chunk = program_id % chunks_per_tile`` is the position within the
+    current stream tile; state resets from the tile's carry at chunk 0
+    and flushes at the tile's last chunk.
     """
     tc = x_ref.shape[0]
-    chunk = pl.program_id(0)
+    idx = pl.program_id(0)
+    cpt = chunks_per_tile or pl.num_programs(0)
+    chunk = idx % cpt
 
     @pl.when(chunk == 0)
     def _():
@@ -91,7 +97,7 @@ def _dpll_kernel(nvalid_ref, x_ref, pll_in, prev_in, last_in,
 
     jax.lax.fori_loop(0, tc // unroll, body, 0)
 
-    @pl.when(chunk == pl.num_programs(0) - 1)
+    @pl.when(chunk == cpt - 1)
     def _():
         pll_out[:] = state[0]
         prev_out[:] = state[1]
@@ -101,44 +107,46 @@ def _dpll_kernel(nvalid_ref, x_ref, pll_in, prev_in, last_in,
 def dpll_pallas_tiles(filtered_tiles: jax.Array, n_valid: jax.Array,
                       pll: jax.Array, prev: jax.Array, lastbit: jax.Array,
                       time_chunk: int = 512, interpret: bool = False,
-                      unroll: int = 32):
+                      unroll: int = 32, n_tiles: int = 1):
     """Run the DPLL kernel on pre-tiled input.
 
-    filtered_tiles: float32 [T, 8, 128] with T a multiple of time_chunk.
-    State tiles: int32 [8, 128].  Returns (bits [T, 8, 128] int32 coded
-    2*valid+bit, new state tiles).
-    """
-    t = filtered_tiles.shape[0]
+    filtered_tiles: float32 [NT*T, 8, 128] (stream-tile-major, time
+    contiguous within each tile) with T a multiple of time_chunk.
+    State tiles: int32 [NT*8, 128].  Returns (bits [NT*T, 8, 128] int32
+    coded 2*valid+bit, new state tiles)."""
+    t = filtered_tiles.shape[0] // n_tiles
     assert t % time_chunk == 0, (t, time_chunk)
     assert time_chunk % unroll == 0, (time_chunk, unroll)
-    grid = (t // time_chunk,)
+    cpt = t // time_chunk
+    grid = (n_tiles * cpt,)
 
     kernel = pl.pallas_call(
-        functools.partial(_dpll_kernel, unroll=unroll),
+        functools.partial(_dpll_kernel, unroll=unroll,
+                          chunks_per_tile=cpt),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((time_chunk, SUBLANES, LANES),
                              lambda i, nv: (i, 0, 0)),
-                pl.BlockSpec((SUBLANES, LANES), lambda i, nv: (0, 0)),
-                pl.BlockSpec((SUBLANES, LANES), lambda i, nv: (0, 0)),
-                pl.BlockSpec((SUBLANES, LANES), lambda i, nv: (0, 0)),
+                pl.BlockSpec((SUBLANES, LANES), lambda i, nv: (i // cpt, 0)),
+                pl.BlockSpec((SUBLANES, LANES), lambda i, nv: (i // cpt, 0)),
+                pl.BlockSpec((SUBLANES, LANES), lambda i, nv: (i // cpt, 0)),
             ],
             out_specs=[
                 pl.BlockSpec((time_chunk, SUBLANES, LANES),
                              lambda i, nv: (i, 0, 0)),
-                pl.BlockSpec((SUBLANES, LANES), lambda i, nv: (0, 0)),
-                pl.BlockSpec((SUBLANES, LANES), lambda i, nv: (0, 0)),
-                pl.BlockSpec((SUBLANES, LANES), lambda i, nv: (0, 0)),
+                pl.BlockSpec((SUBLANES, LANES), lambda i, nv: (i // cpt, 0)),
+                pl.BlockSpec((SUBLANES, LANES), lambda i, nv: (i // cpt, 0)),
+                pl.BlockSpec((SUBLANES, LANES), lambda i, nv: (i // cpt, 0)),
             ],
             scratch_shapes=[pltpu.VMEM((3, SUBLANES, LANES), jnp.int32)],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((t, SUBLANES, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((SUBLANES, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((SUBLANES, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((SUBLANES, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles * t, SUBLANES, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles * SUBLANES, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles * SUBLANES, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles * SUBLANES, LANES), jnp.int32),
         ],
         interpret=interpret,
     )
@@ -147,16 +155,22 @@ def dpll_pallas_tiles(filtered_tiles: jax.Array, n_valid: jax.Array,
     return bits, pll2, prev2, last2
 
 
+def n_stream_tiles(s: int) -> int:
+    return -(-s // TILE_STREAMS)
+
+
 def _to_tiles(x: jax.Array) -> Tuple[jax.Array, int]:
-    """[S, T] -> [T, 8, 128] tiles (S padded to 1024), dtype preserved.
+    """[S, T] -> [NT*T, 8, 128] tiles (S padded to NT*1024), dtype
+    preserved: stream-tile-major, time contiguous within each tile.
 
     Keeping int16 input at int16 halves the HBM traffic of this
     transpose (the kernels convert to float32 per-register-tile)."""
     s, t = x.shape
-    assert s <= TILE_STREAMS, "grid over stream tiles handled by caller"
-    pad = TILE_STREAMS - s
+    nt = n_stream_tiles(s)
+    pad = nt * TILE_STREAMS - s
     xp = jnp.pad(x, ((0, pad), (0, 0)))
-    return xp.T.reshape(t, SUBLANES, LANES), pad
+    return (xp.reshape(nt, TILE_STREAMS, t).transpose(0, 2, 1)
+            .reshape(nt * t, SUBLANES, LANES), pad)
 
 
 def _carry_history(samples: jax.Array, history: jax.Array,
@@ -180,18 +194,21 @@ def _carry_history(samples: jax.Array, history: jax.Array,
 
 
 def _state_to_tiles(v: jax.Array) -> jax.Array:
+    """[S] -> [NT*8, 128] (stream-tile-major)."""
     s = v.shape[0]
-    vp = jnp.pad(v, (0, TILE_STREAMS - s))
-    return vp.reshape(SUBLANES, LANES)
+    nt = n_stream_tiles(s)
+    vp = jnp.pad(v, (0, nt * TILE_STREAMS - s))
+    return vp.reshape(nt * SUBLANES, LANES)
 
 
 def _tiles_to_state(tile: jax.Array, s: int) -> jax.Array:
-    return tile.reshape(TILE_STREAMS)[:s]
+    return tile.reshape(-1)[:s]
 
 
 def _frontend_kernel(nvalid_ref, x_ref, pll_in, prev_in, last_in, hist_in,
                      coded_ref, pll_out, prev_out, last_out,
-                     state, hist, unroll: int = 32):
+                     state, hist, unroll: int = 32,
+                     chunks_per_tile: int | None = None):
     """Fused FIR + DPLL + 4-sample group reduce, one grid step.
 
     x_ref: RAW sample tiles [TC, 8, 128] float32 (int16 values).  The
@@ -209,7 +226,9 @@ def _frontend_kernel(nvalid_ref, x_ref, pll_in, prev_in, last_in, hist_in,
     filter.c:115-122).
     """
     tc = x_ref.shape[0]
-    chunk = pl.program_id(0)
+    idx = pl.program_id(0)
+    cpt = chunks_per_tile or pl.num_programs(0)
+    chunk = idx % cpt
 
     @pl.when(chunk == 0)
     def _():
@@ -264,7 +283,7 @@ def _frontend_kernel(nvalid_ref, x_ref, pll_in, prev_in, last_in, hist_in,
 
     jax.lax.fori_loop(0, tc // unroll, body, 0)
 
-    @pl.when(chunk == pl.num_programs(0) - 1)
+    @pl.when(chunk == cpt - 1)
     def _():
         pll_out[:] = state[0]
         prev_out[:] = state[1]
@@ -280,42 +299,45 @@ def frontend_fused(samples: jax.Array, n_valid: jax.Array,
                               jax.Array, DpllState]:
     """Fused replacement for fir_exact + dpll + group_reduce_bits.
 
-    samples: int16/float32 [S, T] RAW samples, S <= 1024, T a multiple
-    of time_chunk; history: float32 [S, 36]; state: DpllState.
-    Returns (gbits [S, T/4] int32, gvalid [S, T/4] bool,
-    gpos [S, T/4] int32 absolute sample indices, new_history, new state)
-    — bit-identical to the unfused exact chain.
+    samples: int16/float32 [S, T] RAW samples (any S — streams beyond
+    1024 ride extra grid tiles), T a multiple of time_chunk; history:
+    float32 [S, 36]; state: DpllState.  Returns (gbits [S, T/4] int32,
+    gvalid [S, T/4] bool, gpos [S, T/4] int32 absolute sample indices,
+    new_history, new state) — bit-identical to the unfused exact chain.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     s, t = samples.shape
     assert t % time_chunk == 0 and time_chunk % unroll == 0 \
         and unroll % 4 == 0, (t, time_chunk, unroll)
+    nt = n_stream_tiles(s)
+    cpt = t // time_chunk
     tiles, _pad = _to_tiles(samples)
-    hist_t = jnp.pad(history, ((0, TILE_STREAMS - s), (0, 0))) \
-        .T.reshape(C.FIR_LEN, SUBLANES, LANES)
-    grid = (t // time_chunk,)
+    hist_t = jnp.pad(history, ((0, nt * TILE_STREAMS - s), (0, 0))) \
+        .reshape(nt, TILE_STREAMS, C.FIR_LEN).transpose(0, 2, 1) \
+        .reshape(nt * C.FIR_LEN, SUBLANES, LANES)
 
     kernel = pl.pallas_call(
-        functools.partial(_frontend_kernel, unroll=unroll),
+        functools.partial(_frontend_kernel, unroll=unroll,
+                          chunks_per_tile=cpt),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=grid,
+            grid=(nt * cpt,),
             in_specs=[
                 pl.BlockSpec((time_chunk, SUBLANES, LANES),
                              lambda i, nv: (i, 0, 0)),
-                pl.BlockSpec((SUBLANES, LANES), lambda i, nv: (0, 0)),
-                pl.BlockSpec((SUBLANES, LANES), lambda i, nv: (0, 0)),
-                pl.BlockSpec((SUBLANES, LANES), lambda i, nv: (0, 0)),
+                pl.BlockSpec((SUBLANES, LANES), lambda i, nv: (i // cpt, 0)),
+                pl.BlockSpec((SUBLANES, LANES), lambda i, nv: (i // cpt, 0)),
+                pl.BlockSpec((SUBLANES, LANES), lambda i, nv: (i // cpt, 0)),
                 pl.BlockSpec((C.FIR_LEN, SUBLANES, LANES),
-                             lambda i, nv: (0, 0, 0)),
+                             lambda i, nv: (i // cpt, 0, 0)),
             ],
             out_specs=[
                 pl.BlockSpec((time_chunk // 4, SUBLANES, LANES),
                              lambda i, nv: (i, 0, 0)),
-                pl.BlockSpec((SUBLANES, LANES), lambda i, nv: (0, 0)),
-                pl.BlockSpec((SUBLANES, LANES), lambda i, nv: (0, 0)),
-                pl.BlockSpec((SUBLANES, LANES), lambda i, nv: (0, 0)),
+                pl.BlockSpec((SUBLANES, LANES), lambda i, nv: (i // cpt, 0)),
+                pl.BlockSpec((SUBLANES, LANES), lambda i, nv: (i // cpt, 0)),
+                pl.BlockSpec((SUBLANES, LANES), lambda i, nv: (i // cpt, 0)),
             ],
             scratch_shapes=[
                 pltpu.VMEM((3, SUBLANES, LANES), jnp.int32),
@@ -323,10 +345,10 @@ def frontend_fused(samples: jax.Array, n_valid: jax.Array,
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((t // 4, SUBLANES, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((SUBLANES, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((SUBLANES, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((SUBLANES, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((nt * t // 4, SUBLANES, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((nt * SUBLANES, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((nt * SUBLANES, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((nt * SUBLANES, LANES), jnp.int32),
         ],
         interpret=interpret,
     )
@@ -339,7 +361,8 @@ def frontend_fused(samples: jax.Array, n_valid: jax.Array,
         hist_t)
 
     g = t // 4
-    coded = coded_t.reshape(g, TILE_STREAMS)[:, :s].T       # [S, T/4]
+    coded = coded_t.reshape(nt, g, TILE_STREAMS).transpose(0, 2, 1) \
+        .reshape(nt * TILE_STREAMS, g)[:s]                  # [S, T/4]
     gvalid = coded >= 8
     gbits = (coded >> 2) & 1
     gpos = jnp.where(
@@ -364,23 +387,25 @@ def dpll_fused(filtered: jax.Array, n_valid: jax.Array, state: DpllState,
                unroll: int = 32) -> Tuple[jax.Array, jax.Array, DpllState]:
     """Drop-in fast replacement for ops.demod.dpll_scan.
 
-    filtered: [S, T] float32 with S <= 1024 and T a multiple of
-    time_chunk.  Returns (bit_valid [S, T] bool, bits [S, T] int32,
-    new state).
+    filtered: [S, T] float32 (any S) with T a multiple of time_chunk.
+    Returns (bit_valid [S, T] bool, bits [S, T] int32, new state).
     """
     if interpret is None:
         # Mosaic kernels need a TPU; anywhere else (CPU tests, virtual
         # meshes) the interpreter provides identical semantics.
         interpret = jax.default_backend() != "tpu"
     s, t = filtered.shape
+    nt = n_stream_tiles(s)
     tiles, _pad = _to_tiles(filtered)
     bits_t, pll2, prev2, last2 = dpll_pallas_tiles(
         tiles, n_valid,
         _state_to_tiles(state.pll),
         _state_to_tiles(state.prev),
         _state_to_tiles(state.lastbit),
-        time_chunk=time_chunk, interpret=interpret, unroll=unroll)
-    coded = bits_t.reshape(t, TILE_STREAMS)[:, :s].T    # [S, T]
+        time_chunk=time_chunk, interpret=interpret, unroll=unroll,
+        n_tiles=nt)
+    coded = bits_t.reshape(nt, t, TILE_STREAMS).transpose(0, 2, 1) \
+        .reshape(nt * TILE_STREAMS, t)[:s]              # [S, T]
     bit_valid = coded >= 2
     bits = coded & 1
     new_state = DpllState(
@@ -532,7 +557,9 @@ def _pipeline_kernel(scal_ref, x_ref, pll_in, prev_in, last_in, hist_in,
                      pll_out, prev_out, last_out, hst_out, sreg_out,
                      lost2_out, over_out,
                      state, hist, hst, sreg, mwords, mlen, mstart, mctr,
-                     unroll: int = 32, guarded: bool = True):
+                     unroll: int = 32, guarded: bool = True,
+                     chunks_per_tile: int | None = None,
+                     with_fir: bool = True):
     """One grid step of the fully fused decode pipeline.
 
     scal_ref: [2] int32 = (n_valid, block_base).  Per grid step, TC raw
@@ -543,7 +570,9 @@ def _pipeline_kernel(scal_ref, x_ref, pll_in, prev_in, last_in, hist_in,
     written once at the end.
     """
     tc = x_ref.shape[0]
-    chunk = pl.program_id(0)
+    idx = pl.program_id(0)
+    cpt = chunks_per_tile or pl.num_programs(0)
+    chunk = idx % cpt
     slots_per_body = unroll // 4
     bodies_per_hchunk = HDLC_CHUNK // slots_per_body
 
@@ -552,7 +581,8 @@ def _pipeline_kernel(scal_ref, x_ref, pll_in, prev_in, last_in, hist_in,
         state[0] = pll_in[:]
         state[1] = prev_in[:]
         state[2] = last_in[:]
-        hist[:] = hist_in[:]
+        if with_fir:
+            hist[:] = hist_in[:]
         hst[:] = hst_in[:]
         sreg[:] = sreg_in[:]
         mctr[:] = jnp.zeros((3, SUBLANES, LANES), dtype=jnp.int32)
@@ -562,9 +592,15 @@ def _pipeline_kernel(scal_ref, x_ref, pll_in, prev_in, last_in, hist_in,
 
     def body(u, _):
         base = u * unroll
-        x8 = x_ref[pl.ds(base, unroll)]            # [UNROLL, 8, 128] raw
-        win = [hist[i] for i in range(C.FIR_LEN)]
-        win += [x8[k] for k in range(unroll)]
+        # [UNROLL, 8, 128] raw; int16 tiles cast per register tile (the
+        # int16 HBM layout halves the input's memory traffic).  In
+        # with_fir=False mode x_ref holds PRE-FILTERED f32 tiles (the
+        # FIR ran as an MXU convolution outside the kernel) and the
+        # in-kernel FIR — two thirds of the kernel's op count — is gone.
+        x8 = x_ref[pl.ds(base, unroll)].astype(jnp.float32)
+        if with_fir:
+            win = [hist[i] for i in range(C.FIR_LEN)]
+            win += [x8[k] for k in range(unroll)]
         pll = state[0]
         prev = state[1]
         lastbit = state[2]
@@ -575,9 +611,12 @@ def _pipeline_kernel(scal_ref, x_ref, pll_in, prev_in, last_in, hist_in,
         mover = mctr[2]
         acc = None
         for k in range(unroll):
-            f = win[k] * _TAPS_F32[0]
-            for i in range(1, C.FIR_LEN):
-                f = f + win[k + i] * _TAPS_F32[i]
+            if with_fir:
+                f = win[k] * _TAPS_F32[0]
+                for i in range(1, C.FIR_LEN):
+                    f = f + win[k + i] * _TAPS_F32[i]
+            else:
+                f = x8[k]
             curr = (f > 0.0).astype(jnp.int32)
             trans = curr != prev
             nudge = jnp.where(pll < C.PLL_CENTER, C.PLL_NUDGE, -C.PLL_NUDGE)
@@ -627,8 +666,9 @@ def _pipeline_kernel(scal_ref, x_ref, pll_in, prev_in, last_in, hist_in,
             hst[i] = hv[i]
         for w in range(REG_WORDS):
             sreg[w] = srg[w]
-        for i in range(C.FIR_LEN):
-            hist[i] = win[unroll + i]
+        if with_fir:
+            for i in range(C.FIR_LEN):
+                hist[i] = win[unroll + i]
 
         flush = (u % bodies_per_hchunk) == bodies_per_hchunk - 1
 
@@ -647,7 +687,7 @@ def _pipeline_kernel(scal_ref, x_ref, pll_in, prev_in, last_in, hist_in,
 
     jax.lax.fori_loop(0, tc // unroll, body, 0)
 
-    @pl.when(chunk == pl.num_programs(0) - 1)
+    @pl.when(chunk == cpt - 1)
     def _():
         pll_out[:] = state[0]
         prev_out[:] = state[1]
@@ -660,39 +700,55 @@ def _pipeline_kernel(scal_ref, x_ref, pll_in, prev_in, last_in, hist_in,
 
 def _hdlc_state_to_tiles(h: HdlcState) -> Tuple[jax.Array, jax.Array]:
     """HdlcState ([S] vars + [S, REG_WORDS] register) ->
-    ([HDLC_VARS, 8, 128] int32, [REG_WORDS, 8, 128] uint32)."""
+    ([NT*HDLC_VARS, 8, 128] int32, [NT*REG_WORDS, 8, 128] uint32),
+    stream-tile-major."""
     vars_ = jnp.stack([h.state, h.last, h.antallpreamble, h.nstartsign,
                        h.antallenner, h.bitstuff, h.bufferpos,
                        h.data_start])                     # [8, S]
     s = h.state.shape[0]
-    vt = jnp.pad(vars_, ((0, 0), (0, TILE_STREAMS - s))) \
-        .reshape(HDLC_VARS, SUBLANES, LANES)
-    rt = jnp.pad(h.shiftreg.T, ((0, 0), (0, TILE_STREAMS - s))) \
-        .reshape(REG_WORDS, SUBLANES, LANES)
+    nt = n_stream_tiles(s)
+    pad = nt * TILE_STREAMS - s
+    vt = jnp.pad(vars_, ((0, 0), (0, pad))) \
+        .reshape(HDLC_VARS, nt, TILE_STREAMS).transpose(1, 0, 2) \
+        .reshape(nt * HDLC_VARS, SUBLANES, LANES)
+    rt = jnp.pad(h.shiftreg.T, ((0, 0), (0, pad))) \
+        .reshape(REG_WORDS, nt, TILE_STREAMS).transpose(1, 0, 2) \
+        .reshape(nt * REG_WORDS, SUBLANES, LANES)
     return vt, rt
 
 
 def _tiles_to_hdlc_state(vt: jax.Array, rt: jax.Array, s: int) -> HdlcState:
-    v = vt.reshape(HDLC_VARS, TILE_STREAMS)[:, :s]
+    nt = n_stream_tiles(s)
+    v = vt.reshape(nt, HDLC_VARS, TILE_STREAMS).transpose(1, 0, 2) \
+        .reshape(HDLC_VARS, nt * TILE_STREAMS)[:, :s]
+    r = rt.reshape(nt, REG_WORDS, TILE_STREAMS).transpose(1, 0, 2) \
+        .reshape(REG_WORDS, nt * TILE_STREAMS)[:, :s]
     return HdlcState(
         state=v[0], last=v[1], antallpreamble=v[2], nstartsign=v[3],
         antallenner=v[4], bitstuff=v[5], bufferpos=v[6], data_start=v[7],
-        shiftreg=rt.reshape(REG_WORDS, TILE_STREAMS)[:, :s].T)
+        shiftreg=r.T)
 
 
 def pipeline_fused(samples: jax.Array, n_valid: jax.Array,
                    history: jax.Array, dpll: DpllState, hdlc: HdlcState,
                    block_base: jax.Array | int = 0,
                    time_chunk: int = 512, interpret: bool | None = None,
-                   unroll: int = 32, guarded: bool = True):
+                   unroll: int = 32, guarded: bool = True,
+                   prefiltered: bool = False):
     """Fused raw-samples -> frame-candidates decode step.
 
-    samples: int16/float32 [S, T], S <= 1024, T a multiple of
-    time_chunk (and time_chunk of 4*HDLC_CHUNK).  Returns
-    (cand_valid [S, K] bool, cw [S, K, REG_WORDS] uint32, cl [S, K],
-    cs [S, K], lost2 [S], over [S], new_history, new_dpll, new_hdlc)
-    — bit-identical to fir_exact + dpll_scan + group_reduce_bits +
-    hdlc_scan; feed the candidates to demod.compact_candidates.
+    samples: int16/float32 [S, T] (any S — streams beyond 1024 ride
+    extra grid tiles), T a multiple of time_chunk (and time_chunk of
+    4*HDLC_CHUNK).  Returns (cand_valid [S, K] bool, cw [S, K,
+    REG_WORDS] uint32, cl [S, K], cs [S, K], lost2 [S], over [S],
+    new_history, new_dpll, new_hdlc) — bit-identical to fir_exact +
+    dpll_scan + group_reduce_bits + hdlc_scan; feed the candidates to
+    demod.compact_candidates.
+
+    prefiltered=True: ``samples`` is the already-FILTERED float32 block
+    (e.g. from the MXU convolution fir.fir_conv) — the in-kernel FIR is
+    skipped and ``history`` (the caller-maintained raw-sample carry) is
+    passed through unchanged.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -700,31 +756,35 @@ def pipeline_fused(samples: jax.Array, n_valid: jax.Array,
     assert t % time_chunk == 0 and time_chunk % unroll == 0 \
         and unroll % 4 == 0 and time_chunk % (4 * HDLC_CHUNK) == 0, \
         (t, time_chunk, unroll)
+    nt = n_stream_tiles(s)
+    cpt = t // time_chunk
     nch = time_chunk // (4 * HDLC_CHUNK)     # HDLC chunks per grid step
-    n_chunks = t // (4 * HDLC_CHUNK)         # total HDLC chunks
-    xf = samples.astype(jnp.float32)
-    tiles, _pad = _to_tiles(xf)
-    hist_t = jnp.pad(history, ((0, TILE_STREAMS - s), (0, 0))) \
-        .T.reshape(C.FIR_LEN, SUBLANES, LANES)
+    n_chunks = t // (4 * HDLC_CHUNK)         # HDLC chunks per tile
+    # int16 stays int16 through the transpose (half the HBM traffic);
+    # the kernel casts per register tile
+    tiles, _pad = _to_tiles(samples)
+    hist_t = jnp.pad(history, ((0, nt * TILE_STREAMS - s), (0, 0))) \
+        .reshape(nt, TILE_STREAMS, C.FIR_LEN).transpose(0, 2, 1) \
+        .reshape(nt * C.FIR_LEN, SUBLANES, LANES)
     hvt, hrt = _hdlc_state_to_tiles(hdlc)
-    grid = (t // time_chunk,)
 
-    tile2 = pl.BlockSpec((SUBLANES, LANES), lambda i, nv: (0, 0))
+    tile2 = pl.BlockSpec((SUBLANES, LANES), lambda i, nv: (i // cpt, 0))
     kernel = pl.pallas_call(
-        functools.partial(_pipeline_kernel, unroll=unroll, guarded=guarded),
+        functools.partial(_pipeline_kernel, unroll=unroll, guarded=guarded,
+                          chunks_per_tile=cpt, with_fir=not prefiltered),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=grid,
+            grid=(nt * cpt,),
             in_specs=[
                 pl.BlockSpec((time_chunk, SUBLANES, LANES),
                              lambda i, nv: (i, 0, 0)),
                 tile2, tile2, tile2,
                 pl.BlockSpec((C.FIR_LEN, SUBLANES, LANES),
-                             lambda i, nv: (0, 0, 0)),
+                             lambda i, nv: (i // cpt, 0, 0)),
                 pl.BlockSpec((HDLC_VARS, SUBLANES, LANES),
-                             lambda i, nv: (0, 0, 0)),
+                             lambda i, nv: (i // cpt, 0, 0)),
                 pl.BlockSpec((REG_WORDS, SUBLANES, LANES),
-                             lambda i, nv: (0, 0, 0)),
+                             lambda i, nv: (i // cpt, 0, 0)),
             ],
             out_specs=[
                 pl.BlockSpec((nch, MINI_SLOTS, REG_WORDS, SUBLANES, LANES),
@@ -737,9 +797,9 @@ def pipeline_fused(samples: jax.Array, n_valid: jax.Array,
                              lambda i, nv: (i, 0, 0)),
                 tile2, tile2, tile2,
                 pl.BlockSpec((HDLC_VARS, SUBLANES, LANES),
-                             lambda i, nv: (0, 0, 0)),
+                             lambda i, nv: (i // cpt, 0, 0)),
                 pl.BlockSpec((REG_WORDS, SUBLANES, LANES),
-                             lambda i, nv: (0, 0, 0)),
+                             lambda i, nv: (i // cpt, 0, 0)),
                 tile2, tile2,
             ],
             scratch_shapes=[
@@ -755,20 +815,23 @@ def pipeline_fused(samples: jax.Array, n_valid: jax.Array,
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((n_chunks, MINI_SLOTS, REG_WORDS,
+            jax.ShapeDtypeStruct((nt * n_chunks, MINI_SLOTS, REG_WORDS,
                                   SUBLANES, LANES), jnp.uint32),
-            jax.ShapeDtypeStruct((n_chunks, MINI_SLOTS, SUBLANES, LANES),
+            jax.ShapeDtypeStruct((nt * n_chunks, MINI_SLOTS, SUBLANES,
+                                  LANES), jnp.int32),
+            jax.ShapeDtypeStruct((nt * n_chunks, MINI_SLOTS, SUBLANES,
+                                  LANES), jnp.int32),
+            jax.ShapeDtypeStruct((nt * n_chunks, SUBLANES, LANES),
                                  jnp.int32),
-            jax.ShapeDtypeStruct((n_chunks, MINI_SLOTS, SUBLANES, LANES),
+            jax.ShapeDtypeStruct((nt * SUBLANES, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((nt * SUBLANES, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((nt * SUBLANES, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((nt * HDLC_VARS, SUBLANES, LANES),
                                  jnp.int32),
-            jax.ShapeDtypeStruct((n_chunks, SUBLANES, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((SUBLANES, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((SUBLANES, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((SUBLANES, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((HDLC_VARS, SUBLANES, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((REG_WORDS, SUBLANES, LANES), jnp.uint32),
-            jax.ShapeDtypeStruct((SUBLANES, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((SUBLANES, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((nt * REG_WORDS, SUBLANES, LANES),
+                                 jnp.uint32),
+            jax.ShapeDtypeStruct((nt * SUBLANES, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((nt * SUBLANES, LANES), jnp.int32),
         ],
         interpret=interpret,
     )
@@ -784,19 +847,26 @@ def pipeline_fused(samples: jax.Array, n_valid: jax.Array,
     # unpack candidates to stream-major [S, K] (chunk-major, mini-minor
     # = arrival order, matching hdlc_scan's compaction)
     k = n_chunks * MINI_SLOTS
-    cw = mwords_t.transpose(3, 4, 0, 1, 2) \
-        .reshape(TILE_STREAMS, k, REG_WORDS)[:s]
-    cl = mlen_t.transpose(2, 3, 0, 1).reshape(TILE_STREAMS, k)[:s]
-    cs = mstart_t.transpose(2, 3, 0, 1).reshape(TILE_STREAMS, k)[:s]
-    cnt = mcnt_t.transpose(1, 2, 0).reshape(TILE_STREAMS, n_chunks)[:s]
+    cw = mwords_t.reshape(nt, n_chunks, MINI_SLOTS, REG_WORDS,
+                          TILE_STREAMS) \
+        .transpose(0, 4, 1, 2, 3).reshape(nt * TILE_STREAMS, k,
+                                          REG_WORDS)[:s]
+    cl = mlen_t.reshape(nt, n_chunks, MINI_SLOTS, TILE_STREAMS) \
+        .transpose(0, 3, 1, 2).reshape(nt * TILE_STREAMS, k)[:s]
+    cs = mstart_t.reshape(nt, n_chunks, MINI_SLOTS, TILE_STREAMS) \
+        .transpose(0, 3, 1, 2).reshape(nt * TILE_STREAMS, k)[:s]
+    cnt = mcnt_t.reshape(nt, n_chunks, TILE_STREAMS) \
+        .transpose(0, 2, 1).reshape(nt * TILE_STREAMS, n_chunks)[:s]
     cand_valid = (jnp.arange(MINI_SLOTS)[None, None, :]
                   < cnt[:, :, None]).reshape(s, k)
-    lost2 = lost2_t.reshape(TILE_STREAMS)[:s]
-    over = over_t.reshape(TILE_STREAMS)[:s]
+    lost2 = lost2_t.reshape(-1)[:s]
+    over = over_t.reshape(-1)[:s]
 
     # carried FIR history: last 36 valid raw samples (XLA side — the
-    # kernel's in-flight history sees pad zeros past n_valid)
-    new_history = _carry_history(samples, history, n_valid)
+    # kernel's in-flight history sees pad zeros past n_valid).  In
+    # prefiltered mode the caller owns the raw-sample carry.
+    new_history = history if prefiltered \
+        else _carry_history(samples, history, n_valid)
 
     new_dpll = DpllState(
         pll=_tiles_to_state(pll2, s),

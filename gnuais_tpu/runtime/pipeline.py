@@ -45,13 +45,16 @@ def init_dpll(n_streams: int):
 
 @functools.partial(jax.jit,
                    static_argnames=("frame_slots", "exact_fir", "fast_dpll",
-                                    "fused_frontend", "fused_pipeline"))
+                                    "fused_frontend", "fused_pipeline",
+                                    "device_crc", "mxu_fir"))
 def decode_block(samples: jax.Array, n_valid: jax.Array,
                  carry: PipelineCarry, frame_slots: int = 32,
                  exact_fir: bool = True, fast_dpll: bool = False,
                  block_base: jax.Array | int = 0,
                  fused_frontend: bool = False,
-                 fused_pipeline: bool = False
+                 fused_pipeline: bool = False,
+                 device_crc: bool = False,
+                 mxu_fir: bool = False
                  ) -> Tuple[PipelineCarry, demod.FrameBatch, jax.Array]:
     """samples: int16 [S, T]; n_valid: scalar int32 (samples actually
     present — short final blocks are padded to T).  Returns
@@ -65,17 +68,51 @@ def decode_block(samples: jax.Array, n_valid: jax.Array,
     (still bit-identical; same shape constraints; implies exact FIR).
     fused_pipeline folds the HDLC deframer in as well: raw samples ->
     frame snapshots in ONE kernel, no intermediate array in HBM at all.
+    device_crc (fused_pipeline only) CRC-checks the candidates ON DEVICE
+    (ops.crc, protodec.c:120-167 semantics) and compacts only passing
+    frames into the slots; rejects are counted in frames.crcfail — the
+    drain then reads back CRC-passing frames only.
     """
     t = samples.shape[1]
     if fused_pipeline:
         from gnuais_tpu.ops.fused import pipeline_fused
-        (cand_valid, cw, cl, cs, lost2, over,
-         history, dpll_state, hdlc_state) = pipeline_fused(
-            samples, n_valid, carry.history, carry.dpll, carry.hdlc,
-            block_base=block_base)
+        if mxu_fir:
+            # FIR as an XLA convolution (MXU) instead of in-kernel VPU
+            # MACs (~2/3 of the fused kernel's op count).  NOT
+            # guaranteed bit-exact vs the C accumulation order — gate
+            # with parity on the target capture (tests do; slicer signs
+            # flip only when |filtered| is within rounding noise).
+            filtered, fir_hist = fir.fir_conv(samples, carry.history,
+                                              n_valid=n_valid)
+            (cand_valid, cw, cl, cs, lost2, over,
+             history, dpll_state, hdlc_state) = pipeline_fused(
+                filtered, n_valid, fir_hist, carry.dpll, carry.hdlc,
+                block_base=block_base, prefiltered=True)
+        else:
+            (cand_valid, cw, cl, cs, lost2, over,
+             history, dpll_state, hdlc_state) = pipeline_fused(
+                samples, n_valid, carry.history, carry.dpll, carry.hdlc,
+                block_base=block_base)
         frames = demod.compact_candidates(
             demod.init_frames(samples.shape[0], frame_slots),
             cand_valid, cw, cl, cs, lost2=lost2, over=over)
+        if device_crc:
+            # compact first (candidate slots are ~12x the frame slots),
+            # then the gather-free linear CRC, then keep only passers
+            from gnuais_tpu.ops import crc as crc_ops
+            s = samples.shape[0]
+            ok = crc_ops.crc_check_frames_linear(
+                frames.words.reshape(-1, frames.words.shape[-1]),
+                frames.length.reshape(-1)).reshape(s, frame_slots)
+            present = (jnp.arange(frame_slots)[None, :]
+                       < frames.count[:, None])
+            crcfail = jnp.sum(present & jnp.logical_not(ok),
+                              axis=1).astype(jnp.int32)
+            kept = demod.compact_candidates(
+                demod.init_frames(s, frame_slots), present & ok,
+                frames.words, frames.length, frames.start,
+                lost2=frames.lost2, over=frames.dropped)
+            frames = kept._replace(crcfail=crcfail)
         peak = fir.block_peak(samples)
         return (PipelineCarry(history, dpll_state, hdlc_state),
                 frames, peak)
@@ -168,10 +205,14 @@ class BatchPipeline:
     def __init__(self, n_streams: int, block_len: int = 49_152,
                  frame_slots: int = 32, exact_fir: bool = True,
                  fast_dpll: bool = False, fused_frontend: bool = False,
-                 fused_pipeline: bool = False):
+                 fused_pipeline: bool = False, device_crc: bool = False,
+                 mxu_fir: bool = False):
         if fast_dpll or fused_frontend or fused_pipeline:
-            assert block_len % 512 == 0 and n_streams <= 1024, \
-                "fast path: block_len % 512 == 0, <= 1024 streams/call"
+            assert block_len % 512 == 0, "fast path: block_len % 512 == 0"
+        assert not (device_crc and not fused_pipeline), \
+            "device_crc requires fused_pipeline"
+        assert not (mxu_fir and not fused_pipeline), \
+            "mxu_fir requires fused_pipeline"
         self.n_streams = n_streams
         self.block_len = block_len
         self.frame_slots = frame_slots
@@ -179,6 +220,8 @@ class BatchPipeline:
         self.fast_dpll = fast_dpll
         self.fused_frontend = fused_frontend
         self.fused_pipeline = fused_pipeline
+        self.device_crc = device_crc
+        self.mxu_fir = mxu_fir
         self.carry = init_carry(n_streams)
         self.counters = [StreamCounters() for _ in range(n_streams)]
 
@@ -193,16 +236,20 @@ class BatchPipeline:
             jnp.asarray(samples), jnp.int32(n), self.carry,
             frame_slots=self.frame_slots, exact_fir=self.exact_fir,
             fast_dpll=self.fast_dpll, fused_frontend=self.fused_frontend,
-            fused_pipeline=self.fused_pipeline)
+            fused_pipeline=self.fused_pipeline, device_crc=self.device_crc,
+            mxu_fir=self.mxu_fir)
         per_stream = extract_frames(frames)
         lost2 = np.asarray(frames.lost2)
         dropped = np.asarray(frames.dropped)
+        crcfail = np.asarray(frames.crcfail)
         result: List[List[Frame]] = []
         for i, lst in enumerate(per_stream):
             ok = [f for f in lst if f.crc_ok]
             ctr = self.counters[i]
             ctr.receivedframes += len(ok)
-            ctr.lostframes += len(lst) - len(ok)
+            # host-CRC mode counts rejects in the drained list;
+            # device_crc mode pre-filters and reports them in crcfail
+            ctr.lostframes += len(lst) - len(ok) + int(crcfail[i])
             ctr.lostframes2 += int(lost2[i])
             if dropped[i]:
                 raise RuntimeError(
@@ -217,11 +264,16 @@ class JaxReceiver:
 
     def __init__(self, name: str = "A", block_len: int = 1020,
                  frame_slots: int = 16, fast_dpll: bool = False,
+                 fused_pipeline: bool = False, device_crc: bool = False,
                  level_monitor=None):
         self.name = name
+        if fused_pipeline and block_len % 512:
+            block_len = -(-block_len // 512) * 512
         self.pipe = BatchPipeline(1, block_len=block_len,
                                   frame_slots=frame_slots,
-                                  fast_dpll=fast_dpll)
+                                  fast_dpll=fast_dpll,
+                                  fused_pipeline=fused_pipeline,
+                                  device_crc=device_crc)
         self.level_monitor = level_monitor
 
     def run_block(self, samples: np.ndarray) -> List[Frame]:

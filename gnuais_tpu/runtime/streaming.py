@@ -31,12 +31,13 @@ class PipelinedDecoder:
     def __init__(self, n_streams: int, block_len: int = 49_152,
                  frame_slots: int = 32, fast_dpll: bool = False,
                  fused_frontend: bool = False, fused_pipeline: bool = False,
-                 depth: int = 2):
+                 device_crc: bool = False, depth: int = 2):
         self.pipe = pl.BatchPipeline(n_streams, block_len=block_len,
                                      frame_slots=frame_slots,
                                      fast_dpll=fast_dpll,
                                      fused_frontend=fused_frontend,
-                                     fused_pipeline=fused_pipeline)
+                                     fused_pipeline=fused_pipeline,
+                                     device_crc=device_crc)
         self.depth = depth
         self._pending: Deque = deque()
 
@@ -54,7 +55,7 @@ class PipelinedDecoder:
             jnp.asarray(samples), jnp.int32(n), p.carry,
             frame_slots=p.frame_slots, exact_fir=p.exact_fir,
             fast_dpll=p.fast_dpll, fused_frontend=p.fused_frontend,
-            fused_pipeline=p.fused_pipeline)
+            fused_pipeline=p.fused_pipeline, device_crc=p.device_crc)
         return frames
 
     def _drain_one(self) -> List[List[Frame]]:
@@ -62,12 +63,13 @@ class PipelinedDecoder:
         per_stream = pl.extract_frames(frames)
         lost2 = np.asarray(frames.lost2)
         dropped = np.asarray(frames.dropped)
+        crcfail = np.asarray(frames.crcfail)
         out: List[List[Frame]] = []
         for i, lst in enumerate(per_stream):
             ok = [f for f in lst if f.crc_ok]
             ctr = self.pipe.counters[i]
             ctr.receivedframes += len(ok)
-            ctr.lostframes += len(lst) - len(ok)
+            ctr.lostframes += len(lst) - len(ok) + int(crcfail[i])
             ctr.lostframes2 += int(lost2[i])
             if dropped[i]:
                 raise RuntimeError(

@@ -125,6 +125,82 @@ def test_fused_pipeline_dense_frames_mini_slots():
     _carry_equal(c1, c2)
 
 
+def test_fused_pipeline_mxu_fir_packet_parity():
+    """mxu_fir swaps the in-kernel FIR for the XLA convolution — not
+    guaranteed bit-exact on filtered floats, but packet decisions must
+    match on captures (the parity gate for the throughput mode)."""
+    s, t = 4, 2048
+    x = _noisy_batch(s, t, seed=23)
+    c0 = init_carry(s)
+    c1, f1, _ = decode_block(jnp.asarray(x), jnp.int32(t), c0,
+                             frame_slots=16, fused_pipeline=True)
+    c2, f2, _ = decode_block(jnp.asarray(x), jnp.int32(t), c0,
+                             frame_slots=16, fused_pipeline=True,
+                             mxu_fir=True)
+    _frames_equal(f1, f2)
+    for a, b in zip(c1.dpll, c2.dpll):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    # raw-sample FIR history must be carried identically (it is computed
+    # from raw samples on both paths)
+    assert np.array_equal(np.asarray(c1.history), np.asarray(c2.history))
+
+
+def test_fused_pipeline_device_crc_filter():
+    """device_crc compacts only CRC-passing frames on device; rejects
+    land in the crcfail counter so BatchPipeline counters match the
+    host-CRC path exactly — including a corrupted mid-frame bit cell."""
+    rng = np.random.default_rng(17)
+    payloads = [E.random_payload(rng) for _ in range(6)]
+    audio = E.synthesize_capture(payloads, gap_bits=48)
+    # invert one 5-sample bit cell inside the third frame to force a
+    # CRC reject that still deframes (wrong-CRC counter path)
+    third = 2 * (len(audio) // len(payloads)) + 700
+    audio = audio.copy()
+    audio[third:third + 5] = -audio[third:third + 5]
+
+    bl = 4096
+    pa = BatchPipeline(1, block_len=bl, frame_slots=64,
+                       fused_pipeline=True)
+    pb = BatchPipeline(1, block_len=bl, frame_slots=64,
+                       fused_pipeline=True, device_crc=True)
+    fa, fb = [], []
+    for off in range(0, len(audio), bl):
+        blk = audio[None, off:off + bl]
+        fa += pa.process(blk)[0]
+        fb += pb.process(blk)[0]
+    ca, cb = pa.counters[0], pb.counters[0]
+    assert (ca.receivedframes, ca.lostframes, ca.lostframes2) == \
+           (cb.receivedframes, cb.lostframes, cb.lostframes2)
+    assert len(fa) == len(fb)
+    for a, b in zip(fa, fb):
+        assert a.crc_ok and b.crc_ok
+        assert np.array_equal(a.payload_bits[:a.bufferlen],
+                              b.payload_bits[:b.bufferlen])
+
+
+def test_fused_pipeline_stream_grid_multi_tile():
+    """S > 1024 rides extra stream tiles on the kernel grid; results
+    must stay bit-identical to the exact chain on every tile (incl. the
+    padded tail of the last tile)."""
+    s, t = 1100, 512
+    rng = np.random.default_rng(13)
+    audio = E.synthesize_capture([E.random_payload(rng, msg_type=1)],
+                                 gap_bits=8, lead_in_bits=8)
+    x = np.zeros((s, t), dtype=np.int16)
+    for i in range(s):
+        n = min(len(audio), t)
+        x[i, :n] = np.roll(audio[:n], i % 7)
+    c0 = init_carry(s)
+    c1, f1, p1 = decode_block(jnp.asarray(x), jnp.int32(t), c0,
+                              frame_slots=8)
+    c2, f2, p2 = decode_block(jnp.asarray(x), jnp.int32(t), c0,
+                              frame_slots=8, fused_pipeline=True)
+    _frames_equal(f1, f2)
+    _carry_equal(c1, c2)
+    # the second stream tile (rows >= 1024) must carry real state too
+    assert np.asarray(c2.dpll.pll)[1024:].any()
+
+
 def test_fused_pipeline_end_to_end_vs_golden():
     rng = np.random.default_rng(7)
     payloads = [E.random_payload(rng) for _ in range(8)]
