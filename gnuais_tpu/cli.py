@@ -44,21 +44,23 @@ def make_receiver_factory(cfg: Config):
     if cfg.backend == "golden":
         from gnuais_tpu.golden.model import GoldenReceiver
         return lambda name: GoldenReceiver(name)
-    if cfg.backend in ("exact", "fast"):
+    if cfg.backend in ("exact", "fast", "fused"):
         from gnuais_tpu.runtime.pipeline import JaxReceiver
-        if cfg.backend == "fast":
-            # Pallas clock recovery needs 512-multiple blocks
+        if cfg.backend in ("fast", "fused"):
+            # Pallas kernels need 512-multiple blocks
             block = 1024
-            fast = True
+            fast = cfg.backend == "fast"
+            fused = cfg.backend == "fused"
         else:
             block = audio_io.reference_block_frames()
-            fast = False
+            fast = fused = False
         def factory(name):
             lm = (LevelMonitor(name, cfg.sound_levellog)
                   if cfg.sound_levellog else None)
             return JaxReceiver(name, block_len=block,
                                frame_slots=cfg.frameslots,
-                               fast_dpll=fast, level_monitor=lm)
+                               fast_dpll=fast, fused_pipeline=fused,
+                               device_crc=fused, level_monitor=lm)
         return factory
     raise SystemExit(f"unknown backend: {cfg.backend}")
 
@@ -80,8 +82,72 @@ def _load_iq_as_audio(path: str, decim: int) -> np.ndarray:
     return np.asarray(audio)[0]
 
 
+def _open_sound_device(cfg: Config, channels: int):
+    """Live capture per the SoundDevice directive (ais.c:150-172):
+    ``pulse`` selects PulseAudio, anything else is an ALSA PCM name."""
+    if cfg.sound_device == "pulse":
+        from gnuais_tpu.io.pulse import PulseInput
+        live = PulseInput(channels=channels)
+        log.info("Opened PulseAudio record stream")
+    else:
+        from gnuais_tpu.io.alsa import AlsaInput
+        live = AlsaInput(cfg.sound_device, channels=channels)
+        log.info("Opened ALSA capture device %s", cfg.sound_device)
+    return live
+
+
+def _timepar_decode(cfg: Config, stream: np.ndarray, on_message) -> int:
+    """Whole-capture time-parallel decode (mono): the ``streams``
+    directive selects host-side chunk lanes (parallel.timepar), the
+    ``meshshape`` directive runs the capture across a streams x time
+    device mesh (parallel.sharded.make_multichip_step).  Returns the
+    number of decoded CRC-passing frames."""
+    from gnuais_tpu.ais.dispatcher import ChannelDispatcher
+
+    n = len(stream)
+    disp = ChannelDispatcher("A", cfg.skip_type)
+    if cfg.meshshape:
+        import jax
+        import jax.numpy as jnp
+
+        from gnuais_tpu.parallel import mesh as M
+        from gnuais_tpu.parallel.sharded import (DEFAULT_EXTENSION,
+                                                 DEFAULT_OVERLAP,
+                                                 drain_timepar_frames,
+                                                 make_multichip_step)
+        s_ax, t_ax = (tuple(cfg.meshshape) + (1, 1))[:2]
+        o, e = DEFAULT_OVERLAP, DEFAULT_EXTENSION
+        t_loc = -(-max(o, e, -(-n // t_ax)) // 512) * 512
+        tg = t_ax * t_loc
+        buf = np.zeros((s_ax, tg), np.int16)
+        buf[:, :n] = stream
+        step = make_multichip_step(M.make_grid_mesh(s_ax, t_ax),
+                                   frame_slots=cfg.frameslots)
+        tp = step(jnp.asarray(buf), jnp.int32(n), jnp.int32(0),
+                  jnp.zeros((s_ax, o), jnp.int16),
+                  jnp.zeros((s_ax, e), jnp.int16))
+        frames = [f for _, f in drain_timepar_frames(tp, cfg.frameslots)[0]]
+        log.info("Mesh decode: %dx%d devices, %d-sample shards",
+                 s_ax, t_ax, t_loc)
+    else:
+        from gnuais_tpu.parallel.timepar import time_parallel_decode
+        chunk = max(4096, -(-(-(-n // cfg.streams)) // 512) * 512)
+        res = time_parallel_decode(stream, chunk_len=chunk,
+                                   frame_slots=max(cfg.frameslots, 64))
+        frames = res.frames
+        log.info("Time-parallel decode: %d lanes of %d samples",
+                 res.chunks, chunk)
+    count = 0
+    for f in frames:
+        msg = disp.dispatch(f.payload_bits, f.bufferlen)
+        if msg is not None:
+            on_message(msg)
+        count += 1
+    return count
+
+
 def run_decode(cfg: Config, out_stream=None) -> int:
-    if not cfg.sound_in_file:
+    if not cfg.sound_in_file and not cfg.sound_device:
         log.critical("Neither sound device or sound file configured.")
         return 1
 
@@ -91,7 +157,9 @@ def run_decode(cfg: Config, out_stream=None) -> int:
     import stat as stat_mod
     src = cfg.sound_in_file
     try:
-        if cfg.input_format == "iq":
+        if not src:
+            live = _open_sound_device(cfg, nch_cfg)
+        elif cfg.input_format == "iq":
             # raw interleaved float32 I,Q at 48 kHz * iq_decim: run the
             # on-device FM discriminator + decimation front-end, then
             # decode the resulting audio (mono only)
@@ -114,6 +182,10 @@ def run_decode(cfg: Config, out_stream=None) -> int:
         log.critical("Could not open sound file %s: %s",
                      cfg.sound_in_file, e.strerror or e)
         return 1
+    except RuntimeError as e:
+        log.critical("Could not open sound device %s: %s",
+                     cfg.sound_device, e)
+        return 1
 
     stdout_sink = StdoutSink(out_stream)
     socket_srv: Optional[NmeaSocketServer] = None
@@ -122,8 +194,22 @@ def run_decode(cfg: Config, out_stream=None) -> int:
     except OSError as e:
         log.error("Could not open Unix Domain Socket: %s", e)
     serial_sink = SerialSink(cfg.serial_port) if cfg.serial_port else None
-    db = DbWriter(cfg.db_path, keepsmall=cfg.mysql_keepsmall,
-                  oldlimit=cfg.mysql_oldlimit) if cfg.db_path else None
+    db = None
+    if cfg.mysql_db:
+        # the reference's production sink (out_mysql.c): MySQL with
+        # server-gone auto-reconnect
+        from gnuais_tpu.io.mysql import MySqlWriter
+        try:
+            db = MySqlWriter(cfg.mysql_host or "localhost", cfg.mysql_db,
+                             cfg.mysql_user or "gnuais",
+                             cfg.mysql_password or "",
+                             keepsmall=cfg.mysql_keepsmall,
+                             oldlimit=cfg.mysql_oldlimit)
+        except Exception as e:
+            log.error("Could not connect to MySQL: %s", e)
+    elif cfg.db_path:
+        db = DbWriter(cfg.db_path, keepsmall=cfg.mysql_keepsmall,
+                      oldlimit=cfg.mysql_oldlimit)
 
     cache = VesselCache() if cfg.uplinks else None
     exporter = None
@@ -157,35 +243,46 @@ def run_decode(cfg: Config, out_stream=None) -> int:
                 if rt:
                     rt.update(ev.data["lat"], ev.data["lon"])
 
-    sess = DecodeSession(make_receiver_factory(cfg),
-                         sound_channels=cfg.sound_channels,
-                         skip_type=cfg.skip_type,
-                         message_callback=on_message)
     for name in ("A", "B"):
         ranges[name] = RangeTracker(name, mylat, mylng)
 
     tee = open(cfg.sound_out_file, "wb") if cfg.sound_out_file else None
     t0 = time_mod.time()
-    from gnuais_tpu.runtime.session import SessionResult
-    result = SessionResult()
-    last_stats = time_mod.time()
-    nchs = sess.nch
-    if live is not None:
-        block_iter = live.blocks()
-    else:
-        block_iter = audio_io.iter_blocks(interleaved, nchs)
-    n_samples = 0
-    for block in block_iter:
-        n_samples += len(block) // nchs
+    sess = None
+    timepar_count = None
+    if (live is None and nch_cfg == 1
+            and (cfg.streams > 1 or cfg.meshshape)):
+        # throughput mode: streams/meshshape directives engage the
+        # time-parallel decode paths for whole-file mono captures
         if tee:
-            tee.write(np.asarray(block, dtype="<i2").tobytes())
-        sess.process_block(block, result)
-        if cfg.stats_interval:
-            now = time_mod.time()
-            if now - last_stats >= cfg.stats_interval:
-                last_stats = now
-                for rt in ranges.values():
-                    rt.log_and_reset()
+            tee.write(np.asarray(interleaved, dtype="<i2").tobytes())
+        n_samples = len(interleaved)
+        timepar_count = _timepar_decode(cfg, interleaved, on_message)
+    else:
+        sess = DecodeSession(make_receiver_factory(cfg),
+                             sound_channels=cfg.sound_channels,
+                             skip_type=cfg.skip_type,
+                             message_callback=on_message)
+        from gnuais_tpu.runtime.session import SessionResult
+        result = SessionResult()
+        last_stats = time_mod.time()
+        nchs = sess.nch
+        if live is not None:
+            block_iter = live.blocks()
+        else:
+            block_iter = audio_io.iter_blocks(interleaved, nchs)
+        n_samples = 0
+        for block in block_iter:
+            n_samples += len(block) // nchs
+            if tee:
+                tee.write(np.asarray(block, dtype="<i2").tobytes())
+            sess.process_block(block, result)
+            if cfg.stats_interval:
+                now = time_mod.time()
+                if now - last_stats >= cfg.stats_interval:
+                    last_stats = now
+                    for rt in ranges.values():
+                        rt.log_and_reset()
     dt = time_mod.time() - t0
     if live is not None:
         live.close()
@@ -200,18 +297,32 @@ def run_decode(cfg: Config, out_stream=None) -> int:
     if serial_sink:
         serial_sink.close()
 
-    for name, rx in (("A", sess.rx_a), ("B", sess.rx_b)):
-        if rx is not None and hasattr(rx, "counters"):
-            r, l, l2 = rx.counters
-            log.info("%s: Received correctly: %d packets, "
-                     "wrong CRC: %d packets, wrong size: %d packets",
-                     name, r, l, l2)
+    if sess is not None:
+        for name, rx in (("A", sess.rx_a), ("B", sess.rx_b)):
+            if rx is not None and hasattr(rx, "counters"):
+                r, l, l2 = rx.counters
+                log.info("%s: Received correctly: %d packets, "
+                         "wrong CRC: %d packets, wrong size: %d packets",
+                         name, r, l, l2)
+    else:
+        log.info("A: Received correctly: %d packets "
+                 "(time-parallel mode reports CRC-passing frames only)",
+                 timepar_count)
     log.info("Processed %d samples in %.2fs (%.0fx real time)",
              n_samples, dt, n_samples / 48000.0 / dt if dt else 0)
     return 0
 
 
 def main(argv: Optional[List[str]] = None) -> int:
+    # the axon TPU plugin ignores JAX_PLATFORMS from the environment;
+    # honor it explicitly so `JAX_PLATFORMS=cpu gnuais-tpu ...` works
+    if os.environ.get("JAX_PLATFORMS"):
+        try:
+            import jax
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except Exception:
+            pass
+
     p = argparse.ArgumentParser(
         prog="gnuais-tpu",
         description="TPU-native AIS receiver (gnuais capability surface)")
@@ -227,9 +338,13 @@ def main(argv: Optional[List[str]] = None) -> int:
                    help="fork to background (writes pidfile)")
     p.add_argument("--pidfile", default=None)
     p.add_argument("--streams", type=int, help="TPU: batch stream count")
-    p.add_argument("--backend", choices=["exact", "fast", "golden"])
+    p.add_argument("--backend", choices=["exact", "fast", "fused", "golden"])
     p.add_argument("--monitor", action="store_true",
                    help="run the live ship monitor (NMEA socket consumer)")
+    p.add_argument("--map", action="store_true",
+                   help="with --monitor: serve the OSM web map view")
+    p.add_argument("--port", type=int, default=8787,
+                   help="web map HTTP port")
     p.add_argument("--batch", nargs="+", metavar="CAPTURE",
                    help="batch-decode N independent capture files")
     p.add_argument("--replicate", type=int, default=1,
@@ -253,8 +368,12 @@ def main(argv: Optional[List[str]] = None) -> int:
                             level=LOG_LEVELS[args.loglevel], format=fmt)
 
     if args.monitor:
-        from gnuais_tpu.monitor.ships import monitor_socket
-        monitor_socket()
+        if args.map:
+            from gnuais_tpu.monitor.webmap import monitor_socket_with_map
+            monitor_socket_with_map(port=args.port)
+        else:
+            from gnuais_tpu.monitor.ships import monitor_socket
+            monitor_socket()
         return 0
 
     if args.batch:
@@ -276,9 +395,15 @@ def main(argv: Optional[List[str]] = None) -> int:
         from gnuais_tpu.io.live import daemonize
         daemonize(args.pidfile)
 
+    from gnuais_tpu.config import resolve_config
     cfg = Config()
     if args.cfgfile:
         cfg = read_config(args.cfgfile, cfg)
+    elif not args.soundinfile:
+        # no -c and no -l: reference first-run behavior — auto-install
+        # ~/.config/gnuais/config from the packaged example
+        # (cfgfile.c:341-422) and read it
+        cfg = resolve_config(None, cfg, log)
     if args.soundinfile:
         cfg.sound_in_file = args.soundinfile
         cfg.sound_device = None

@@ -146,13 +146,17 @@ def _set_sound_ch(cfg: Config, argv: List[str]) -> None:
 
 
 def _set_skip_type(cfg: Config, argv: List[str]) -> None:
+    """The reference marks one type per directive (do_skip_type,
+    cfg.c:203-220, reads only argv[1]); accepting every listed value is
+    a compatible superset (``skip_type 4 5 8``)."""
     if len(argv) < 2:
         raise ConfigError("skip_type needs a value")
-    i = int(argv[1])
-    if not (0 < i <= MAX_AIS_PACKET_TYPE):
-        raise ConfigError(f"skip_type value out of range: {i}")
-    if i not in cfg.skip_type:
-        cfg.skip_type.append(i)
+    for tok in argv[1:]:
+        i = int(tok)
+        if not (0 < i <= MAX_AIS_PACKET_TYPE):
+            raise ConfigError(f"skip_type value out of range: {i}")
+        if i not in cfg.skip_type:
+            cfg.skip_type.append(i)
 
 
 def _set_uplink(cfg: Config, argv: List[str]) -> None:
@@ -227,3 +231,65 @@ def read_config(path: str, cfg: Optional[Config] = None) -> Config:
                     f"{path}:{lineno}: no such configuration directive: "
                     f"{line.split()[0]}")
     return cfg
+
+
+def default_config_dir() -> Path:
+    base = os.environ.get("XDG_CONFIG_HOME") or os.path.expanduser("~/.config")
+    return Path(base) / "gnuais"
+
+
+def packaged_example() -> Optional[Path]:
+    """The shipped gnuais-tpu.conf-example (repo root / install data)."""
+    for cand in (Path(__file__).resolve().parent.parent
+                 / "gnuais-tpu.conf-example",
+                 Path("/usr/share/doc/gnuais/gnuais.conf-example"),
+                 Path("/usr/local/share/doc/gnuais/gnuais.conf-example")):
+        if cand.exists():
+            return cand
+    return None
+
+
+def auto_install_config(log=None) -> Optional[Path]:
+    """First-run behavior of the reference (cfgfile.c:341-422): when no
+    config exists, create ~/.config/gnuais/config from /etc/gnuais.conf
+    or the packaged example.  Returns the path to a readable config, or
+    None when nothing exists and nothing could be installed."""
+    conf = default_config_dir() / "config"
+    if conf.exists():
+        return conf
+    try:
+        conf.parent.mkdir(parents=True, exist_ok=True)
+    except OSError:
+        return None
+    src = Path("/etc/gnuais.conf")
+    if not src.exists():
+        src = packaged_example()
+    if src is None:
+        if log:
+            log.error("No gnuais.conf-example found to be copied to %s",
+                      conf)
+        return None
+    try:
+        conf.write_text(src.read_text())
+    except OSError:
+        return None
+    if log:
+        log.warning("Created %s from %s — you should edit this file!",
+                    conf, src)
+    return conf
+
+
+def resolve_config(path: Optional[str], cfg: Optional[Config] = None,
+                   log=None) -> Config:
+    """-c path when given; otherwise the auto-installed default config
+    (reference behavior: missing config is not an error — defaults
+    apply with a warning)."""
+    if path:
+        return read_config(path, cfg)
+    conf = auto_install_config(log)
+    if conf is None:
+        if log:
+            log.warning("No configuration file found! Running with the "
+                        "default configuration.")
+        return cfg or Config()
+    return read_config(str(conf), cfg)

@@ -56,13 +56,19 @@ OWN_MARGIN = 16
 
 
 def make_sharded_decode(mesh: Mesh, frame_slots: int = 32,
-                        exact_fir: bool = True) -> Callable:
+                        exact_fir: bool = True,
+                        fused_pipeline: bool = False,
+                        device_crc: bool = False) -> Callable:
     """Returns jitted (samples [S,T], n_valid, carry) -> (carry', frames,
-    peak) with S sharded over the ``streams`` mesh axis."""
+    peak) with S sharded over the ``streams`` mesh axis.  The fused
+    flags select the flagship Pallas path inside each shard (the body
+    stays collective-free either way)."""
 
     def body(samples, n_valid, carry):
         return pl.decode_block(samples, n_valid, carry,
-                               frame_slots=frame_slots, exact_fir=exact_fir)
+                               frame_slots=frame_slots, exact_fir=exact_fir,
+                               fused_pipeline=fused_pipeline,
+                               device_crc=device_crc)
 
     sharded = jax.shard_map(
         body, mesh=mesh,

@@ -149,3 +149,81 @@ def time_parallel_decode(stream: np.ndarray, chunk_len: int = 65_536,
         starts=[s for s, _ in out],
         chunks=k,
     )
+
+
+class TimeParSession:
+    """Streaming driver for the 2-D mesh step: chains super-blocks
+    through ``sharded.make_multichip_step`` with exact edge hand-off.
+
+    Each pushed block is held until its successor arrives, so the held
+    block can be decoded with a real ``next_head`` (frames that start
+    near its end complete using the successor's first samples) — one
+    super-block of latency, zero lost packets at super-block seams.
+    Duplicate suppression across seams is chained through the last kept
+    frame start per stream (sharded.dedup_by_start).
+    """
+
+    def __init__(self, mesh, n_streams: int, super_block: int,
+                 frame_slots: int = 32,
+                 overlap: int = DEFAULT_OVERLAP,
+                 extension: int = DEFAULT_EXTENSION,
+                 **step_kwargs):
+        from gnuais_tpu.parallel import sharded as sh
+        self._sh = sh
+        self.step = sh.make_multichip_step(
+            mesh, frame_slots=frame_slots, overlap=overlap,
+            extension=extension, **step_kwargs)
+        self.n_streams = n_streams
+        self.super_block = super_block
+        self.frame_slots = frame_slots
+        self.overlap = overlap
+        self.extension = extension
+        self._held: Optional[np.ndarray] = None
+        self._held_base = 0
+        self._prev_tail = np.zeros((n_streams, overlap), np.int16)
+        self._base = 0
+        self._last_starts: Optional[List[int]] = None
+
+    def _run(self, block: np.ndarray, base: int, next_head: np.ndarray,
+             valid_end: int):
+        tp = self.step(jnp.asarray(block), jnp.int32(valid_end),
+                       jnp.int32(base), jnp.asarray(self._prev_tail),
+                       jnp.asarray(next_head))
+        per_stream = self._sh.drain_timepar_frames(
+            tp, self.frame_slots, prev_starts=self._last_starts)
+        self._last_starts = [
+            (lst[-1][0] if lst else
+             (self._last_starts[i] if self._last_starts else -10 ** 9))
+            for i, lst in enumerate(per_stream)]
+        self._prev_tail = np.asarray(block[:, -self.overlap:])
+        return per_stream
+
+    def push(self, samples: np.ndarray):
+        """samples: int16 [S, super_block].  Returns the PREVIOUS
+        super-block's per-stream (start, Frame) lists, or None for the
+        first push."""
+        s, t = samples.shape
+        assert s == self.n_streams and t == self.super_block, (s, t)
+        out = None
+        if self._held is not None:
+            # real data extends through the successor's head
+            next_head = np.asarray(samples[:, :self.extension])
+            out = self._run(self._held, self._held_base, next_head,
+                            self._base + self.extension)
+        self._held = np.asarray(samples, dtype=np.int16)
+        self._held_base = self._base
+        self._base += t
+        return out
+
+    def flush(self, n_valid: Optional[int] = None):
+        """Decode the held final block (optionally short: ``n_valid``
+        real samples).  Returns its per-stream (start, Frame) lists."""
+        if self._held is None:
+            return [[] for _ in range(self.n_streams)]
+        end = self._held_base + (n_valid if n_valid is not None
+                                 else self._held.shape[1])
+        out = self._run(self._held, self._held_base,
+                        np.zeros((self.n_streams, self.extension),
+                                 np.int16), end)
+        self._held = None
+        return out

@@ -119,3 +119,38 @@ def test_live_socket_consumption(tmp_path):
         assert 333000111 in table.ships and 444000222 in table.ships
     finally:
         srv.close()
+
+
+def test_webmap_server_serves_page_and_ships():
+    """The gnuaisgui-equivalent map view: HTTP page + live ship JSON."""
+    import json
+    import urllib.request
+
+    from gnuais_tpu.monitor.webmap import WebMapServer
+
+    table = ShipTable()
+    # inject one decoded position via the payload-bit path
+    payload = E.make_type123(1, 257012345, 59.91, 10.75)
+    disp = ChannelDispatcher("A")
+    rx = GoldenReceiver("A")
+    audio = E.synthesize_capture([payload])
+    asm = AivdmAssembler()
+    for fr in rx.run_block(audio):
+        msg = disp.dispatch(fr.payload_bits, fr.bufferlen)
+        for s in msg.nmea_sentences:
+            for bits in asm.feed(s.encode()):
+                table.update_from_bits(bits)
+    assert len(table.ships) == 1
+
+    srv = WebMapServer(table, port=0)
+    srv.start()
+    try:
+        base = f"http://127.0.0.1:{srv.port}"
+        page = urllib.request.urlopen(base + "/", timeout=5).read()
+        assert b"leaflet" in page and b"ships.json" in page
+        data = json.loads(
+            urllib.request.urlopen(base + "/ships.json", timeout=5).read())
+        assert data["ships"][0]["mmsi"] == 257012345
+        assert abs(data["ships"][0]["latitude"] - 59.91) < 0.01
+    finally:
+        srv.stop()

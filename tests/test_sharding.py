@@ -182,6 +182,42 @@ def test_multichip_timepar_superblock_chain():
 
 
 @needs_mesh
+def test_timepar_session_streaming_chain():
+    """TimeParSession chains 3 super-blocks with held-block hand-off;
+    the union must match the sequential chain."""
+    from gnuais_tpu.parallel.timepar import TimeParSession
+
+    rng = np.random.default_rng(7)
+    payloads = [E.random_payload(rng) for _ in range(24)]
+    audio = E.synthesize_capture(payloads, gap_bits=100)
+    t_loc = 6144
+    tg = 8 * t_loc
+    total = 3 * tg
+    stream = np.zeros(total, dtype=np.int16)
+    n = min(len(audio), total)
+    stream[:n] = audio[:n]
+    stream = np.clip(stream + rng.normal(0, 250, total),
+                     -32768, 32767).astype(np.int16)
+
+    want = _sequential_ok_frames(stream, frame_slots=64)
+    assert len(want) >= 20
+
+    mesh = M.make_grid_mesh(1, 8)
+    sess = TimeParSession(mesh, 1, tg, frame_slots=16)
+    got = []
+    for g in range(3):
+        r = sess.push(np.asarray(stream[None, g * tg:(g + 1) * tg]))
+        if r is not None:
+            got += r[0]
+    got += sess.flush()[0]
+    assert len(got) == len(want), (len(got), len(want))
+    for (st_a, fa), (st_b, fb) in zip(got, want):
+        assert abs(st_a - st_b) <= 4
+        assert np.array_equal(fa.payload_bits[:fa.bufferlen],
+                              fb.payload_bits[:fb.bufferlen])
+
+
+@needs_mesh
 def test_graft_dryrun():
     import __graft_entry__ as g
     g.dryrun_multichip(8)
