@@ -70,7 +70,7 @@ def _enable_compile_cache():
 def run_bench(n_streams: int = 256, block_len: int = 49_152,
               iters: int = 10, fast: bool = True,
               frames_per_stream: int = 4, device_crc: bool = False,
-              scaling: bool = False):
+              scaling: bool = False, superblock: int = 1):
     import jax
     import jax.numpy as jnp
 
@@ -84,8 +84,11 @@ def run_bench(n_streams: int = 256, block_len: int = 49_152,
 
     batch, n_payloads = build_batch(n_streams, block_len,
                                     frames_per_stream)
+    if superblock > 1:
+        # tile the block out to a superblock (frames repeat per block)
+        batch = np.tile(batch, (1, superblock))
     xj = jax.device_put(jnp.asarray(batch))
-    nv = jnp.int32(block_len)
+    nv = jnp.int32(block_len * superblock)
     carry = pl.init_carry(n_streams)
 
     def step(c):
@@ -93,7 +96,14 @@ def run_bench(n_streams: int = 256, block_len: int = 49_152,
         # (bit-identical to the exact chain; raw samples -> frame
         # candidates with no intermediate array in HBM; stream tiles
         # beyond 1024 ride the kernel grid); device_crc filters frame
-        # candidates on device so only CRC-passing frames drain
+        # candidates on device so only CRC-passing frames drain;
+        # superblock > 1 chains that many blocks through ONE dispatch
+        # (lax.scan on device) so the host/tunnel round trip amortizes
+        if superblock > 1:
+            return pl.decode_superblock(xj, nv, c, superblock,
+                                        frame_slots=32, exact_fir=True,
+                                        fused_pipeline=fast,
+                                        device_crc=device_crc)
         return pl.decode_block(xj, nv, c, frame_slots=32,
                                exact_fir=True, fused_pipeline=fast,
                                device_crc=device_crc)
@@ -103,7 +113,8 @@ def run_bench(n_streams: int = 256, block_len: int = 49_152,
     jax.block_until_ready(frames)
     count = np.asarray(frames.count)
     assert (count == n_payloads).all(), (
-        f"bench capture mis-decoded: {count[:8]} != {n_payloads}")
+        f"bench capture mis-decoded: {np.asarray(count).ravel()[:8]} "
+        f"!= {n_payloads}")
 
     # steady state, carry-chained
     c = carry
@@ -112,17 +123,17 @@ def run_bench(n_streams: int = 256, block_len: int = 49_152,
         c, frames, _ = step(c)
     jax.block_until_ready((c, frames))
     dt = (time.time() - t0) / iters
-    sps = n_streams * block_len / dt
+    sps = n_streams * block_len * superblock / dt
 
     extra = {}
     if scaling:
         extra = _measure_scaling(sps, n_streams, block_len, iters,
-                                 fast, device_crc, xj, nv)
+                                 fast, device_crc, xj, nv, superblock)
     return sps, extra
 
 
 def _measure_scaling(sps_1chip, n_streams, block_len, iters, fast,
-                     device_crc, xj, nv):
+                     device_crc, xj, nv, superblock=1):
     """BASELINE.md asks for samples/s/chip at 1 and N chips: run the
     stream-sharded step over every local device and report parallel
     efficiency vs the single-chip rate."""
@@ -139,7 +150,8 @@ def _measure_scaling(sps_1chip, n_streams, block_len, iters, fast,
         mesh = M.make_stream_mesh(n_dev)
         fn = make_sharded_decode(mesh, frame_slots=32,
                                  fused_pipeline=fast,
-                                 device_crc=device_crc)
+                                 device_crc=device_crc,
+                                 superblock=superblock)
         xs = jax.device_put(xj, M.stream_sharding(mesh))
         carry = jax.device_put(pl.init_carry(n_streams),
                                M.carry_sharding(mesh))
@@ -150,7 +162,7 @@ def _measure_scaling(sps_1chip, n_streams, block_len, iters, fast,
             c, frames, _ = fn(xs, nv, c)
         jax.block_until_ready((c, frames))
         dt = (time.time() - t0) / iters
-        sps_n = n_streams * block_len / dt
+        sps_n = n_streams * block_len * superblock / dt
         return {"scaling": {
             "chips": n_dev,
             "sps_1chip": round(sps_1chip, 1),
@@ -163,10 +175,15 @@ def _measure_scaling(sps_1chip, n_streams, block_len, iters, fast,
 
 
 CONFIGS = [
-    dict(n_streams=4096, block_len=49_152, iters=10, device_crc=True,
+    # flagship: fused Pallas pipeline, 8 blocks chained per dispatch
+    # (the tunnel round trip is ~6 ms — comparable to the device time
+    # of a 50 Msample block — so superblocking roughly doubles
+    # measured throughput), host CRC via the native C++ drain
+    dict(n_streams=1024, block_len=49_152, iters=10, superblock=8,
          scaling=True),
-    dict(n_streams=1024, block_len=49_152, iters=10, device_crc=True,
+    dict(n_streams=4096, block_len=49_152, iters=10, superblock=4,
          scaling=True),
+    dict(n_streams=1024, block_len=49_152, iters=10, device_crc=True),
     dict(n_streams=1024, block_len=49_152, iters=10),
     dict(n_streams=256, block_len=49_152, iters=10),
     dict(n_streams=64, block_len=12_288, iters=5),

@@ -24,7 +24,12 @@ import numpy as np
 from gnuais_tpu import constants as C
 from gnuais_tpu.ops.demod import REG_BITS, REG_WORDS
 
-_CRC_TABLE = jnp.asarray(C.CRC_TABLE.astype(np.int32))
+# NumPy constants, NOT jnp: this module is lazily imported from inside
+# jit traces (runtime.pipeline.decode_block), and a module-level
+# jnp.asarray executed during tracing would cache a tracer bound to
+# that trace — leaking into every later trace.  NumPy arrays are lifted
+# to constants per-trace instead.
+_CRC_TABLE = C.CRC_TABLE.astype(np.int32)
 
 
 def frames_to_line_bits(words: jax.Array, total_bits: jax.Array) -> jax.Array:
@@ -69,10 +74,12 @@ def crc_check_frames(words: jax.Array, payload_len: jax.Array) -> jax.Array:
     # CRC over length_bytes+2 bytes where length_bytes = payload//8
     buflen = payload_len // 8 + 2                           # [F]
 
+    tab = jnp.asarray(_CRC_TABLE)
+
     def step(crc, xk):
         data_k, k = xk
         active = k < buflen
-        nxt = (crc >> 8) ^ _CRC_TABLE[(crc ^ data_k) & 0xFF]
+        nxt = (crc >> 8) ^ tab[(crc ^ data_k) & 0xFF]
         return jnp.where(active, nxt, crc), None
 
     crc0 = jnp.full((words.shape[0],), C.CRC_INIT, dtype=jnp.int32)
@@ -139,12 +146,26 @@ def _build_linear_tables():
             idx = p - r - 13 + 2 * i
             if 0 <= idx < len(bitw):
                 w8[r, p] = bitw[idx]
-    return (jnp.asarray(w8), jnp.asarray(init),
-            jnp.asarray(bitw))
+    return w8, init, bitw
 
 
 _W8, _INIT_CRC, _BITW = _build_linear_tables()
 _CRC_TARGET = 0xF0B8    # residue 0x0f47 complemented (protodec.c:166)
+
+
+def _build_planes() -> np.ndarray:
+    """W8 re-laid-out as bit planes for the MXU: PLANES[p, r*16 + j] =
+    bit j of W8[r, p], float32 0/1."""
+    planes = np.zeros((REG_BITS, 8 * 16), dtype=np.float32)
+    for r in range(8):
+        for p in range(REG_BITS):
+            w = int(_W8[r, p])
+            for j in range(16):
+                planes[p, r * 16 + j] = (w >> j) & 1
+    return planes
+
+
+_PLANES = _build_planes()
 
 
 def crc_check_frames_linear(words: jax.Array,
@@ -152,6 +173,13 @@ def crc_check_frames_linear(words: jax.Array,
     """Gather-free accept mask, bit-identical to crc_check_frames.
 
     words: [F, REG_WORDS] uint32; payload_len: [F] int32.
+
+    XOR over GF(2) = per-bit-plane parity = (sum mod 2), so the whole
+    reduction is ONE f32 matmul on the MXU: bits [F, 480] x planes
+    [480, 128] (all 8 payload_len%8 hypotheses x 16 CRC bits at once;
+    sums <= 480 are exact in f32), then a per-row hypothesis select.
+    This replaces the per-row [F, 480] weight gather + 32-bit XOR
+    reduce, which lowered to slow scalar gathers on TPU.
     """
     f = words.shape[0]
     # bits by position-from-end: word 14 bit 0 is p=0 -> reverse words,
@@ -161,14 +189,18 @@ def crc_check_frames_linear(words: jax.Array,
         .astype(jnp.uint32).reshape(f, REG_BITS)
     r = (payload_len % 8).astype(jnp.int32)
     nbytes = payload_len // 8 + 2
-    # row select W8[r] (tiny gather of [F] rows) + in-frame mask
-    w = jnp.take(_W8, r, axis=0)                       # [F, 480]
     p = jnp.arange(REG_BITS, dtype=jnp.int32)
     inframe = p[None, :] < (payload_len + 22)[:, None]
-    masked = jnp.where(inframe, bits * w, 0)
-    crc_data = jax.lax.reduce(masked, np.uint32(0),
-                              jax.lax.bitwise_xor, (1,))
-    crc = crc_data ^ jnp.take(_INIT_CRC, jnp.clip(nbytes, 0, 63))
+    bitsf = jnp.where(inframe, bits, 0).astype(jnp.float32)
+    sums = jnp.dot(bitsf, jnp.asarray(_PLANES),
+                   preferred_element_type=jnp.float32)     # [F, 128]
+    parity = (sums.astype(jnp.int32) & 1).reshape(f, 8, 16)
+    weights = (1 << jnp.arange(16, dtype=jnp.uint32))
+    crc_all = jnp.sum(parity.astype(jnp.uint32) * weights[None, None, :],
+                      axis=2)                              # [F, 8]
+    crc_data = jnp.take_along_axis(crc_all, r[:, None], axis=1)[:, 0]
+    crc = crc_data ^ jnp.take(jnp.asarray(_INIT_CRC),
+                              jnp.clip(nbytes, 0, 63))
     return (crc == _CRC_TARGET) & (payload_len > 0)
 
 

@@ -58,22 +58,34 @@ OWN_MARGIN = 16
 def make_sharded_decode(mesh: Mesh, frame_slots: int = 32,
                         exact_fir: bool = True,
                         fused_pipeline: bool = False,
-                        device_crc: bool = False) -> Callable:
+                        device_crc: bool = False,
+                        superblock: int = 1) -> Callable:
     """Returns jitted (samples [S,T], n_valid, carry) -> (carry', frames,
     peak) with S sharded over the ``streams`` mesh axis.  The fused
     flags select the flagship Pallas path inside each shard (the body
-    stays collective-free either way)."""
+    stays collective-free either way).  superblock > 1: T is that many
+    chained blocks decoded per dispatch (decode_superblock; FrameBatch
+    leaves gain a leading [superblock] axis)."""
 
     def body(samples, n_valid, carry):
+        if superblock > 1:
+            return pl.decode_superblock(
+                samples, n_valid, carry, superblock,
+                frame_slots=frame_slots, exact_fir=exact_fir,
+                fused_pipeline=fused_pipeline, device_crc=device_crc)
         return pl.decode_block(samples, n_valid, carry,
                                frame_slots=frame_slots, exact_fir=exact_fir,
                                fused_pipeline=fused_pipeline,
                                device_crc=device_crc)
 
+    frames_spec = P(None, "streams") if superblock > 1 else P("streams")
     sharded = jax.shard_map(
         body, mesh=mesh,
         in_specs=(P("streams", None), P(), P("streams")),
-        out_specs=(P("streams"), P("streams"), P("streams")),
+        out_specs=(P("streams"), frames_spec, P("streams")),
+        # pallas_call outputs carry no vma annotation; the body is
+        # collective-free so the varying-mesh-axes check adds nothing
+        check_vma=False,
     )
     return jax.jit(sharded)
 
