@@ -57,10 +57,14 @@ def make_receiver_factory(cfg: Config):
         def factory(name):
             lm = (LevelMonitor(name, cfg.sound_levellog)
                   if cfg.sound_levellog else None)
+            ckpt = (f"{cfg.checkpoint}.{name}.npz"
+                    if cfg.checkpoint else None)
             return JaxReceiver(name, block_len=block,
                                frame_slots=cfg.frameslots,
                                fast_dpll=fast, fused_pipeline=fused,
-                               device_crc=fused, level_monitor=lm)
+                               device_crc=fused, level_monitor=lm,
+                               checkpoint_path=ckpt,
+                               checkpoint_every=cfg.checkpoint_every)
         return factory
     raise SystemExit(f"unknown backend: {cfg.backend}")
 
@@ -270,7 +274,41 @@ def run_decode(cfg: Config, out_stream=None) -> int:
         if live is not None:
             block_iter = live.blocks()
         else:
-            block_iter = audio_io.iter_blocks(interleaved, nchs)
+            # checkpoint resume: skip samples a previous (crashed) run
+            # already consumed — the restored carry continues exactly
+            off = 0
+            if cfg.checkpoint and hasattr(sess.rx_a, "resume_offset"):
+                off = sess.rx_a.resume_offset()
+                if sess.rx_b is not None and hasattr(sess.rx_b,
+                                                     "resume_offset"):
+                    off_b = sess.rx_b.resume_offset()
+                    if off_b != off:
+                        # channel snapshots from different block counts
+                        # (crash between the A and B saves): exact resume
+                        # is impossible — restart both channels fresh
+                        log.warning(
+                            "Checkpoint offsets differ (A=%d B=%d): "
+                            "restarting from 0", off, off_b)
+                        off = 0
+                        for rx in (sess.rx_a, sess.rx_b):
+                            rx.pipe.reset()
+                if off:
+                    log.info("Resuming from checkpoint: skipping %d "
+                             "samples/channel", off)
+                # snapshot/restore the dispatcher's rolling NMEA seqnr
+                # with the decoder carry — without it, resumed multipart
+                # sentences would renumber from 0 (protodec.c:922-926)
+                for rx, disp in ((sess.rx_a, sess.disp_a),
+                                 (sess.rx_b, sess.disp_b)):
+                    if rx is None or not hasattr(rx.pipe, "extra_meta"):
+                        continue
+                    rx.pipe.extra_meta = \
+                        lambda d=disp: {"seqnr": d.seqnr}
+                    if off and rx.pipe.restored_extra:
+                        disp.seqnr = int(
+                            rx.pipe.restored_extra.get("seqnr", 0))
+            block_iter = audio_io.iter_blocks(interleaved[off * nchs:],
+                                              nchs)
         n_samples = 0
         for block in block_iter:
             n_samples += len(block) // nchs
@@ -283,6 +321,14 @@ def run_decode(cfg: Config, out_stream=None) -> int:
                     last_stats = now
                     for rt in ranges.values():
                         rt.log_and_reset()
+        if cfg.checkpoint:
+            # final snapshot: a clean exit resumes exactly-once (a crash
+            # resumes from the last periodic snapshot, re-emitting the
+            # tail blocks' frames — at-least-once)
+            for rx in (sess.rx_a, sess.rx_b):
+                if rx is not None and hasattr(rx, "pipe") \
+                        and hasattr(rx.pipe, "checkpoint"):
+                    rx.pipe.checkpoint()
     dt = time_mod.time() - t0
     if live is not None:
         live.close()
@@ -345,6 +391,11 @@ def main(argv: Optional[List[str]] = None) -> int:
                    help="with --monitor: serve the OSM web map view")
     p.add_argument("--port", type=int, default=8787,
                    help="web map HTTP port")
+    p.add_argument("--checkpoint", metavar="PATH",
+                   help="checkpoint decoder state (per channel) for "
+                        "exact crash recovery / resume")
+    p.add_argument("--checkpoint-every", type=int, default=None,
+                   metavar="N", help="blocks between checkpoints")
     p.add_argument("--batch", nargs="+", metavar="CAPTURE",
                    help="batch-decode N independent capture files")
     p.add_argument("--replicate", type=int, default=1,
@@ -413,6 +464,10 @@ def main(argv: Optional[List[str]] = None) -> int:
         cfg.streams = args.streams
     if args.backend:
         cfg.backend = args.backend
+    if args.checkpoint:
+        cfg.checkpoint = args.checkpoint
+    if args.checkpoint_every is not None:
+        cfg.checkpoint_every = args.checkpoint_every
 
     return run_decode(cfg)
 

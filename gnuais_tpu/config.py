@@ -124,6 +124,10 @@ class Config:
     input_format: str = "audio"  # audio | iq
     iq_decim: int = 4            # IQ input rate = 48 kHz * iq_decim
     db_path: Optional[str] = None  # sqlite sink
+    # exact checkpoint/resume + automatic mid-run recovery
+    # (runtime.supervisor): per-channel snapshots at <path>.<channel>
+    checkpoint: Optional[str] = None
+    checkpoint_every: int = 64   # blocks between snapshots
 
     @property
     def have_my_loc(self) -> bool:
@@ -202,6 +206,9 @@ _DIRECTIVES = [
     ("inputformat", lambda c, a: setattr(c, "input_format", a[1].lower())),
     ("iqdecim", lambda c, a: setattr(c, "iq_decim", int(a[1]))),
     ("dbpath", lambda c, a: setattr(c, "db_path", a[1])),
+    ("checkpoint", lambda c, a: setattr(c, "checkpoint", a[1])),
+    ("checkpointevery",
+     lambda c, a: setattr(c, "checkpoint_every", int(a[1]))),
 ]
 
 

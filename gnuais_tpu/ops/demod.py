@@ -413,20 +413,52 @@ def hdlc_scan(bitrows: jax.Array, slot_valid: jax.Array,
 def compact_candidates(frames: FrameBatch, cand_valid: jax.Array,
                        cw: jax.Array, cl: jax.Array, cs: jax.Array,
                        lost2: jax.Array, over: jax.Array) -> FrameBatch:
-    """Scatter frame candidates (arrival order along axis 1) into
+    """Move frame candidates (arrival order along axis 1) into dense
     FrameBatch slots.  cand_valid [S, K] bool; cw [S, K, REG_WORDS];
-    cl/cs [S, K]; lost2/over [S] counters to accumulate."""
+    cl/cs [S, K]; lost2/over [S] counters to accumulate.
+
+    TPU-native formulation: a slot-scatter serializes on TPU (measured
+    ~6 ms/block at S=1024, K=384 — as long as the whole fused decode
+    kernel), so the compaction is expressed as a batched one-hot MATMUL
+    instead: hit[s, k, j] = (candidate k lands in slot j), and every
+    payload rides ``einsum('skj,skd->sjd')`` onto the MXU.  At most one
+    candidate hits a slot (destinations are strictly increasing), and
+    every field is split into <= 16-bit pieces, so the f32 products and
+    sums are exact."""
     s, k = cand_valid.shape
     frame_slots = frames.words.shape[1]
+    w = cw.shape[-1]
     dst = jnp.cumsum(cand_valid.astype(jnp.int32), axis=1) - 1 \
         + frames.count[:, None]
     overflow = cand_valid & (dst >= frame_slots)
-    dst = jnp.where(cand_valid & jnp.logical_not(overflow), dst,
-                    frame_slots)                             # drop mode
-    rows2 = jnp.broadcast_to(jnp.arange(s)[:, None], (s, k))
-    new_words = frames.words.at[rows2, dst].set(cw, mode="drop")
-    new_len = frames.length.at[rows2, dst].set(cl, mode="drop")
-    new_start = frames.start.at[rows2, dst].set(cs, mode="drop")
+    keep = cand_valid & jnp.logical_not(overflow)
+
+    slots = jnp.arange(frame_slots, dtype=jnp.int32)
+    hit = keep[:, :, None] & (dst[:, :, None] == slots[None, None, :])
+    hitf = hit.astype(jnp.float32)                       # [S, K, F]
+    found = jnp.any(hit, axis=1)                         # [S, F]
+
+    # 16-bit-split features: [S, K, 2W + 3] (words lo/hi, length,
+    # start lo/hi — cl <= 480 and each 16-bit piece are f32-exact)
+    feats = jnp.concatenate([
+        (cw & 0xFFFF).astype(jnp.float32),
+        (cw >> 16).astype(jnp.float32),
+        cl.astype(jnp.float32)[:, :, None],
+        (cs & 0xFFFF).astype(jnp.float32)[:, :, None],
+        ((cs >> 16) & 0x7FFF).astype(jnp.float32)[:, :, None],
+    ], axis=2)
+    out = jnp.einsum("skj,skd->sjd", hitf, feats,
+                     preferred_element_type=jnp.float32)  # [S, F, 2W+3]
+
+    g_words = out[..., :w].astype(jnp.uint32) \
+        | (out[..., w:2 * w].astype(jnp.uint32) << 16)
+    g_len = out[..., 2 * w].astype(jnp.int32)
+    g_start = out[..., 2 * w + 1].astype(jnp.int32) \
+        | (out[..., 2 * w + 2].astype(jnp.int32) << 16)
+
+    new_words = jnp.where(found[:, :, None], g_words, frames.words)
+    new_len = jnp.where(found, g_len, frames.length)
+    new_start = jnp.where(found, g_start, frames.start)
 
     n_new = jnp.sum(cand_valid, axis=1).astype(jnp.int32)
     n_over = jnp.sum(overflow, axis=1).astype(jnp.int32) + over

@@ -551,6 +551,17 @@ def _hdlc_slot_tiles(hv, srg, b, valid, spos):
     return hv2, new_srg, emit, flen, bad
 
 
+def _fir_band_matrix(unroll: int) -> np.ndarray:
+    """Static [unroll, FIR_LEN + unroll] banded taps matrix A with
+    A[k, k+i] = taps[i], so that f[k] = (A @ win)[k] for a window
+    win[0..FIR_LEN+unroll) of FIR_LEN history + unroll new samples."""
+    a = np.zeros((unroll, C.FIR_LEN + unroll), dtype=np.float32)
+    taps = np.asarray(C.FIR_TAPS, dtype=np.float32)
+    for k in range(unroll):
+        a[k, k:k + C.FIR_LEN] = taps
+    return a
+
+
 def _pipeline_kernel(scal_ref, x_ref, pll_in, prev_in, last_in, hist_in,
                      hst_in, sreg_in,
                      mwords_ref, mlen_ref, mstart_ref, mcnt_ref,
@@ -559,7 +570,8 @@ def _pipeline_kernel(scal_ref, x_ref, pll_in, prev_in, last_in, hist_in,
                      state, hist, hst, sreg, mwords, mlen, mstart, mctr,
                      unroll: int = 32, guarded: bool = True,
                      chunks_per_tile: int | None = None,
-                     with_fir: bool = True):
+                     with_fir: bool = True, fir_mode: str = "vpu",
+                     amat_ref=None):
     """One grid step of the fully fused decode pipeline.
 
     scal_ref: [2] int32 = (n_valid, block_base).  Per grid step, TC raw
@@ -598,7 +610,20 @@ def _pipeline_kernel(scal_ref, x_ref, pll_in, prev_in, last_in, hist_in,
         # FIR ran as an MXU convolution outside the kernel) and the
         # in-kernel FIR — two thirds of the kernel's op count — is gone.
         x8 = x_ref[pl.ds(base, unroll)].astype(jnp.float32)
-        if with_fir:
+        if with_fir and fir_mode == "mxu":
+            # whole-chunk FIR as ONE matmul on the MXU: the [unroll,
+            # FIR_LEN+unroll] banded taps matrix contracts the sliding
+            # window over all unroll positions at once, freeing the VPU
+            # (36 of ~58 ops/sample) for the integer recurrence.  NOT
+            # guaranteed bit-exact vs the sequential C accumulation
+            # (MXU f32 = bf16 multi-pass) — gate with packet parity.
+            stacked = jnp.concatenate([hist[:], x8], axis=0)
+            fmat = jnp.dot(
+                amat_ref[:],
+                stacked.reshape(C.FIR_LEN + unroll, SUBLANES * LANES),
+                preferred_element_type=jnp.float32)
+            fs = fmat.reshape(unroll, SUBLANES, LANES)
+        elif with_fir:
             win = [hist[i] for i in range(C.FIR_LEN)]
             win += [x8[k] for k in range(unroll)]
         pll = state[0]
@@ -611,7 +636,9 @@ def _pipeline_kernel(scal_ref, x_ref, pll_in, prev_in, last_in, hist_in,
         mover = mctr[2]
         acc = None
         for k in range(unroll):
-            if with_fir:
+            if with_fir and fir_mode == "mxu":
+                f = fs[k]
+            elif with_fir:
                 f = win[k] * _TAPS_F32[0]
                 for i in range(1, C.FIR_LEN):
                     f = f + win[k + i] * _TAPS_F32[i]
@@ -666,7 +693,9 @@ def _pipeline_kernel(scal_ref, x_ref, pll_in, prev_in, last_in, hist_in,
             hst[i] = hv[i]
         for w in range(REG_WORDS):
             sreg[w] = srg[w]
-        if with_fir:
+        if with_fir and fir_mode == "mxu":
+            hist[:] = stacked[unroll:]
+        elif with_fir:
             for i in range(C.FIR_LEN):
                 hist[i] = win[unroll + i]
 
@@ -734,7 +763,7 @@ def pipeline_fused(samples: jax.Array, n_valid: jax.Array,
                    block_base: jax.Array | int = 0,
                    time_chunk: int = 512, interpret: bool | None = None,
                    unroll: int = 32, guarded: bool = True,
-                   prefiltered: bool = False):
+                   prefiltered: bool = False, fir_mode: str = "vpu"):
     """Fused raw-samples -> frame-candidates decode step.
 
     samples: int16/float32 [S, T] (any S — streams beyond 1024 ride
@@ -769,9 +798,24 @@ def pipeline_fused(samples: jax.Array, n_valid: jax.Array,
     hvt, hrt = _hdlc_state_to_tiles(hdlc)
 
     tile2 = pl.BlockSpec((SUBLANES, LANES), lambda i, nv: (i // cpt, 0))
+    base_kernel = functools.partial(
+        _pipeline_kernel, unroll=unroll, guarded=guarded,
+        chunks_per_tile=cpt, with_fir=not prefiltered, fir_mode=fir_mode)
+    if fir_mode == "mxu":
+        # the banded taps matrix rides as a (replicated) kernel input —
+        # Pallas kernels cannot capture array constants
+        def kernel_fn(scal, x, pll, prev, last, hin, hst0, srg0, amat,
+                      *rest):
+            return base_kernel(scal, x, pll, prev, last, hin, hst0, srg0,
+                               *rest, amat_ref=amat)
+        extra_in = [jnp.asarray(_fir_band_matrix(unroll))]
+        extra_specs = [pl.BlockSpec((unroll, C.FIR_LEN + unroll),
+                                    lambda i, nv: (0, 0))]
+    else:
+        kernel_fn = base_kernel
+        extra_in, extra_specs = [], []
     kernel = pl.pallas_call(
-        functools.partial(_pipeline_kernel, unroll=unroll, guarded=guarded,
-                          chunks_per_tile=cpt, with_fir=not prefiltered),
+        kernel_fn,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nt * cpt,),
@@ -785,6 +829,7 @@ def pipeline_fused(samples: jax.Array, n_valid: jax.Array,
                              lambda i, nv: (i // cpt, 0, 0)),
                 pl.BlockSpec((REG_WORDS, SUBLANES, LANES),
                              lambda i, nv: (i // cpt, 0, 0)),
+                *extra_specs,
             ],
             out_specs=[
                 pl.BlockSpec((nch, MINI_SLOTS, REG_WORDS, SUBLANES, LANES),
@@ -842,7 +887,7 @@ def pipeline_fused(samples: jax.Array, n_valid: jax.Array,
         _state_to_tiles(dpll.pll),
         _state_to_tiles(dpll.prev),
         _state_to_tiles(dpll.lastbit),
-        hist_t, hvt, hrt)
+        hist_t, hvt, hrt, *extra_in)
 
     # unpack candidates to stream-major [S, K] (chunk-major, mini-minor
     # = arrival order, matching hdlc_scan's compaction)

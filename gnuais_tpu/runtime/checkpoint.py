@@ -49,22 +49,26 @@ def load_carry(path: Union[str, Path], n_streams: int
 
 
 def save_pipeline(path: Union[str, Path], pipe: BatchPipeline,
-                  samples_consumed: int) -> None:
+                  samples_consumed: int,
+                  extra: Optional[Dict[str, Any]] = None) -> None:
     meta = {
         "samples_consumed": samples_consumed,
         "n_streams": pipe.n_streams,
         "block_len": pipe.block_len,
         "counters": [(c.receivedframes, c.lostframes, c.lostframes2)
                      for c in pipe.counters],
+        "extra": extra or {},
     }
     save_carry(path, pipe.carry, meta)
 
 
-def restore_pipeline(path: Union[str, Path], pipe: BatchPipeline) -> int:
-    """Restores carry + counters into ``pipe``; returns the input offset
-    (samples consumed) to resume from."""
+def restore_pipeline(path: Union[str, Path], pipe: BatchPipeline
+                     ) -> Tuple[int, Dict[str, Any]]:
+    """Restores carry + counters into ``pipe``; returns (input offset to
+    resume from, the saver's ``extra`` metadata — e.g. downstream
+    dispatcher state like the NMEA seqnr)."""
     carry, meta = load_carry(path, pipe.n_streams)
     pipe.carry = carry
     for c, (r, l, l2) in zip(pipe.counters, meta.get("counters", [])):
         c.receivedframes, c.lostframes, c.lostframes2 = r, l, l2
-    return int(meta.get("samples_consumed", 0))
+    return int(meta.get("samples_consumed", 0)), meta.get("extra", {})

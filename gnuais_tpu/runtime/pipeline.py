@@ -76,23 +76,17 @@ def decode_block(samples: jax.Array, n_valid: jax.Array,
     t = samples.shape[1]
     if fused_pipeline:
         from gnuais_tpu.ops.fused import pipeline_fused
-        if mxu_fir:
-            # FIR as an XLA convolution (MXU) instead of in-kernel VPU
-            # MACs (~2/3 of the fused kernel's op count).  NOT
-            # guaranteed bit-exact vs the C accumulation order — gate
-            # with parity on the target capture (tests do; slicer signs
-            # flip only when |filtered| is within rounding noise).
-            filtered, fir_hist = fir.fir_conv(samples, carry.history,
-                                              n_valid=n_valid)
-            (cand_valid, cw, cl, cs, lost2, over,
-             history, dpll_state, hdlc_state) = pipeline_fused(
-                filtered, n_valid, fir_hist, carry.dpll, carry.hdlc,
-                block_base=block_base, prefiltered=True)
-        else:
-            (cand_valid, cw, cl, cs, lost2, over,
-             history, dpll_state, hdlc_state) = pipeline_fused(
-                samples, n_valid, carry.history, carry.dpll, carry.hdlc,
-                block_base=block_base)
+        # mxu_fir: the 36-tap FIR runs as ONE banded matmul per unroll
+        # chunk on the MXU *inside* the kernel (frees 36 of ~58 VPU
+        # ops/sample).  NOT guaranteed bit-exact vs the C accumulation
+        # order (MXU f32 is multi-pass bf16) — gate with parity on the
+        # target capture (tests do; slicer signs flip only when
+        # |filtered| is within rounding noise).
+        (cand_valid, cw, cl, cs, lost2, over,
+         history, dpll_state, hdlc_state) = pipeline_fused(
+            samples, n_valid, carry.history, carry.dpll, carry.hdlc,
+            block_base=block_base,
+            fir_mode="mxu" if mxu_fir else "vpu")
         frames = demod.compact_candidates(
             demod.init_frames(samples.shape[0], frame_slots),
             cand_valid, cw, cl, cs, lost2=lost2, over=over)
@@ -339,16 +333,33 @@ class JaxReceiver:
     def __init__(self, name: str = "A", block_len: int = 1020,
                  frame_slots: int = 16, fast_dpll: bool = False,
                  fused_pipeline: bool = False, device_crc: bool = False,
-                 level_monitor=None):
+                 level_monitor=None, checkpoint_path=None,
+                 checkpoint_every: int = 64):
         self.name = name
         if fused_pipeline and block_len % 512:
             block_len = -(-block_len // 512) * 512
-        self.pipe = BatchPipeline(1, block_len=block_len,
-                                  frame_slots=frame_slots,
-                                  fast_dpll=fast_dpll,
-                                  fused_pipeline=fused_pipeline,
-                                  device_crc=device_crc)
+
+        def make():
+            return BatchPipeline(1, block_len=block_len,
+                                 frame_slots=frame_slots,
+                                 fast_dpll=fast_dpll,
+                                 fused_pipeline=fused_pipeline,
+                                 device_crc=device_crc)
+
+        if checkpoint_path is not None:
+            # supervised mode: exact checkpoint/resume + automatic
+            # rebuild-restore-replay recovery on decode failure
+            from gnuais_tpu.runtime.supervisor import SupervisedDecoder
+            self.pipe = SupervisedDecoder(make, checkpoint_path,
+                                          checkpoint_every=checkpoint_every)
+        else:
+            self.pipe = make()
         self.level_monitor = level_monitor
+
+    def resume_offset(self) -> int:
+        """Samples already consumed per a restored checkpoint (0 when
+        unsupervised or fresh)."""
+        return getattr(self.pipe, "resume_offset", lambda: 0)()
 
     def run_block(self, samples: np.ndarray) -> List[Frame]:
         if self.level_monitor is not None:
