@@ -108,13 +108,23 @@ def run_bench(n_streams: int = 256, block_len: int = 49_152,
                                exact_fir=True, fused_pipeline=fast,
                                device_crc=device_crc)
 
-    # compile + correctness check
+    # compile + correctness check: counts AND a CRC-verified drain (a
+    # count check alone would miss corrupted frame payload words — the
+    # count rides a separate cumsum path)
     carry1, frames, _ = step(carry)
     jax.block_until_ready(frames)
     count = np.asarray(frames.count)
     assert (count == n_payloads).all(), (
         f"bench capture mis-decoded: {np.asarray(count).ravel()[:8]} "
         f"!= {n_payloads}")
+    import jax as _jax
+    fb0 = _jax.tree.map(lambda a: a[0], frames) if superblock > 1 \
+        else frames
+    drained = pl.extract_frames(fb0)
+    n_ok = sum(sum(1 for f in lst if f.crc_ok) for lst in drained)
+    want_ok = n_streams * n_payloads
+    assert n_ok == want_ok, (
+        f"bench frames fail CRC after drain: {n_ok} != {want_ok}")
 
     # steady state, carry-chained
     c = carry

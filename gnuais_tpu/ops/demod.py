@@ -421,10 +421,12 @@ def compact_candidates(frames: FrameBatch, cand_valid: jax.Array,
     ~6 ms/block at S=1024, K=384 — as long as the whole fused decode
     kernel), so the compaction is expressed as a batched one-hot MATMUL
     instead: hit[s, k, j] = (candidate k lands in slot j), and every
-    payload rides ``einsum('skj,skd->sjd')`` onto the MXU.  At most one
-    candidate hits a slot (destinations are strictly increasing), and
-    every field is split into <= 16-bit pieces, so the f32 products and
-    sums are exact."""
+    payload rides ``einsum('skj,skd->sjd')`` onto the MXU.  Exactness:
+    at most one candidate hits a slot (destinations are strictly
+    increasing), every field is split into <= 8-BIT pieces (exact in
+    bf16, so even a single-pass MXU lowering is lossless — 16-bit
+    pieces were observed corrupted by the default bf16 pass on real
+    TPUs), and HIGHEST precision is requested besides."""
     s, k = cand_valid.shape
     frame_slots = frames.words.shape[1]
     w = cw.shape[-1]
@@ -438,23 +440,32 @@ def compact_candidates(frames: FrameBatch, cand_valid: jax.Array,
     hitf = hit.astype(jnp.float32)                       # [S, K, F]
     found = jnp.any(hit, axis=1)                         # [S, F]
 
-    # 16-bit-split features: [S, K, 2W + 3] (words lo/hi, length,
-    # start lo/hi — cl <= 480 and each 16-bit piece are f32-exact)
-    feats = jnp.concatenate([
-        (cw & 0xFFFF).astype(jnp.float32),
-        (cw >> 16).astype(jnp.float32),
-        cl.astype(jnp.float32)[:, :, None],
-        (cs & 0xFFFF).astype(jnp.float32)[:, :, None],
-        ((cs >> 16) & 0x7FFF).astype(jnp.float32)[:, :, None],
-    ], axis=2)
-    out = jnp.einsum("skj,skd->sjd", hitf, feats,
-                     preferred_element_type=jnp.float32)  # [S, F, 2W+3]
+    # 8-bit-split features: words as 4 bytes each, length lo/hi,
+    # start as 4 bytes -> [S, K, 4W + 6]
+    def bytes_of(v32, n):
+        u = v32.astype(jnp.uint32)
+        return [((u >> (8 * i)) & 0xFF).astype(jnp.float32)
+                for i in range(n)]
 
-    g_words = out[..., :w].astype(jnp.uint32) \
-        | (out[..., w:2 * w].astype(jnp.uint32) << 16)
-    g_len = out[..., 2 * w].astype(jnp.int32)
-    g_start = out[..., 2 * w + 1].astype(jnp.int32) \
-        | (out[..., 2 * w + 2].astype(jnp.int32) << 16)
+    feats = jnp.concatenate(
+        [((cw >> (8 * i)) & 0xFF).astype(jnp.float32) for i in range(4)]
+        + [p[:, :, None] for p in bytes_of(cl, 2)]
+        + [p[:, :, None] for p in bytes_of(cs, 4)], axis=2)
+    out = jnp.einsum("skj,skd->sjd", hitf, feats,
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)  # [S, F, 4W+6]
+
+    def unbytes(parts):
+        acc = parts[0].astype(jnp.uint32)
+        for i, p in enumerate(parts[1:], start=1):
+            acc = acc | (p.astype(jnp.uint32) << (8 * i))
+        return acc
+
+    g_words = unbytes([out[..., i * w:(i + 1) * w] for i in range(4)])
+    g_len = unbytes([out[..., 4 * w + i] for i in range(2)]) \
+        .astype(jnp.int32)
+    g_start = unbytes([out[..., 4 * w + 2 + i] for i in range(4)]) \
+        .astype(jnp.int32)
 
     new_words = jnp.where(found[:, :, None], g_words, frames.words)
     new_len = jnp.where(found, g_len, frames.length)
