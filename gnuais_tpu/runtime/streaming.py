@@ -31,7 +31,8 @@ class PipelinedDecoder:
     def __init__(self, n_streams: int, block_len: int = 49_152,
                  frame_slots: int = 32, fast_dpll: bool = False,
                  fused_frontend: bool = False, fused_pipeline: bool = False,
-                 device_crc: bool = False, depth: int = 2):
+                 device_crc: bool = False, depth: int = 2,
+                 superblock: int = 1):
         self.pipe = pl.BatchPipeline(n_streams, block_len=block_len,
                                      frame_slots=frame_slots,
                                      fast_dpll=fast_dpll,
@@ -39,6 +40,11 @@ class PipelinedDecoder:
                                      fused_pipeline=fused_pipeline,
                                      device_crc=device_crc)
         self.depth = depth
+        # superblock > 1: each submit() may carry up to that many
+        # block_len blocks, chained on device in ONE dispatch
+        # (decode_superblock) — the dispatch round trip amortizes while
+        # the in-flight queue still overlaps compute with drain
+        self.superblock = max(1, superblock)
         self._pending: Deque = deque()
 
     @property
@@ -48,7 +54,18 @@ class PipelinedDecoder:
     def _dispatch(self, samples: np.ndarray):
         p = self.pipe
         s, n = samples.shape
-        assert s == p.n_streams and n <= p.block_len
+        assert s == p.n_streams and n <= self.superblock * p.block_len
+        if self.superblock > 1:
+            k = max(1, -(-n // p.block_len))
+            total = k * p.block_len
+            if n < total:
+                samples = np.pad(samples, ((0, 0), (0, total - n)))
+            p.carry, frames_k, _peak = pl.decode_superblock(
+                jnp.asarray(samples), jnp.int32(n), p.carry, k,
+                frame_slots=p.frame_slots, exact_fir=p.exact_fir,
+                fast_dpll=p.fast_dpll, fused_frontend=p.fused_frontend,
+                fused_pipeline=p.fused_pipeline, device_crc=p.device_crc)
+            return (frames_k, k)
         if n < p.block_len:
             samples = np.pad(samples, ((0, 0), (0, p.block_len - n)))
         p.carry, frames, _peak = pl.decode_block(
@@ -56,15 +73,10 @@ class PipelinedDecoder:
             frame_slots=p.frame_slots, exact_fir=p.exact_fir,
             fast_dpll=p.fast_dpll, fused_frontend=p.fused_frontend,
             fused_pipeline=p.fused_pipeline, device_crc=p.device_crc)
-        return frames
+        return (frames, 0)      # 0 = unstacked single block
 
-    def _drain_one(self) -> List[List[Frame]]:
-        frames = self._pending.popleft()
-        per_stream = pl.extract_frames(frames)
-        lost2 = np.asarray(frames.lost2)
-        dropped = np.asarray(frames.dropped)
-        crcfail = np.asarray(frames.crcfail)
-        out: List[List[Frame]] = []
+    def _account(self, per_stream, lost2, dropped, crcfail,
+                 out: List[List[Frame]]) -> None:
         for i, lst in enumerate(per_stream):
             ok = [f for f in lst if f.crc_ok]
             ctr = self.pipe.counters[i]
@@ -74,12 +86,27 @@ class PipelinedDecoder:
             if dropped[i]:
                 raise RuntimeError(
                     f"frame slot overflow on stream {i}: raise frame_slots")
-            out.append(ok)
+            out[i].extend(ok)
+
+    def _drain_one(self) -> List[List[Frame]]:
+        frames, k = self._pending.popleft()
+        out: List[List[Frame]] = [[] for _ in range(self.pipe.n_streams)]
+        if k == 0:
+            self._account(pl.extract_frames(frames),
+                          np.asarray(frames.lost2),
+                          np.asarray(frames.dropped),
+                          np.asarray(frames.crcfail), out)
+            return out
+        host = jax.tree.map(np.asarray, frames)        # one transfer
+        for b in range(k):
+            fb = jax.tree.map(lambda a, b=b: a[b], host)
+            self._account(pl.extract_frames(fb), fb.lost2, fb.dropped,
+                          fb.crcfail, out)
         return out
 
     def submit(self, samples: np.ndarray) -> Optional[List[List[Frame]]]:
-        """Enqueue a block; returns the OLDEST completed block's frames
-        once the in-flight queue is full, else None."""
+        """Enqueue a (super)block; returns the OLDEST completed one's
+        frames once the in-flight queue is full, else None."""
         self._pending.append(self._dispatch(samples))
         if len(self._pending) > self.depth:
             return self._drain_one()

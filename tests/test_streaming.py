@@ -84,3 +84,35 @@ def test_submit_returns_after_depth():
     assert third is not None               # oldest drained
     rest = piped.flush()
     assert len(rest) == 2
+
+
+def test_pipelined_superblock_matches_sequential():
+    """superblock > 1 chains several blocks per dispatch; output and
+    counters must match the plain block-at-a-time pipeline, including a
+    short final superblock."""
+    rng = np.random.default_rng(5)
+    payloads = [E.random_payload(rng) for _ in range(14)]
+    audio = E.synthesize_capture(payloads, gap_bits=40)
+    s, bl, sb = 2, 1024, 3
+
+    seq = BatchPipeline(s, block_len=bl, frame_slots=64)
+    seq_frames = [[] for _ in range(s)]
+    for blk in _blocks(audio, s, bl):
+        for i, fr in enumerate(seq.process(blk)):
+            seq_frames[i].extend(fr)
+
+    piped = PipelinedDecoder(s, block_len=bl, frame_slots=64, depth=2,
+                             superblock=sb)
+    piped_frames = [[] for _ in range(s)]
+    for per in piped.run(_blocks(audio, s, sb * bl)):
+        for i, fr in enumerate(per):
+            piped_frames[i].extend(fr)
+
+    for i in range(s):
+        c1, c2 = seq.counters[i], piped.counters[i]
+        assert (c1.receivedframes, c1.lostframes, c1.lostframes2) == \
+               (c2.receivedframes, c2.lostframes, c2.lostframes2)
+        assert len(seq_frames[i]) == len(piped_frames[i]) == len(payloads)
+        for a, b in zip(seq_frames[i], piped_frames[i]):
+            assert np.array_equal(a.payload_bits[:a.bufferlen],
+                                  b.payload_bits[:b.bufferlen])
