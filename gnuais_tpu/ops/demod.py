@@ -410,6 +410,43 @@ def hdlc_scan(bitrows: jax.Array, slot_valid: jax.Array,
     return state, frames
 
 
+class DenseFrames(NamedTuple):
+    """Cross-stream dense frame buffer: exactly the frames that exist
+    travel back to the host (the per-stream FrameBatch reads back
+    S*frame_slots slots whether occupied or not — ~10x more bytes at
+    typical occupancy)."""
+    words: jax.Array     # [CAP, REG_WORDS] uint32
+    length: jax.Array    # [CAP] int32
+    start: jax.Array     # [CAP] int32
+    stream: jax.Array    # [CAP] int32 source stream id
+    total: jax.Array     # scalar int32 frames present (<= CAP)
+    over: jax.Array      # scalar int32 frames dropped (total beyond CAP)
+
+
+def dense_frames(frames: FrameBatch, cap: int) -> DenseFrames:
+    """Compact a FrameBatch's occupied slots (stream-major arrival
+    order) into one dense [cap] buffer on device.
+
+    A stable argsort of the present mask replaces a cross-stream
+    scatter: present slots keep flat order, so output j is the j-th
+    frame overall.  The per-row gather that follows touches only cap
+    rows."""
+    s, f = frames.length.shape
+    present = (jnp.arange(f)[None, :] < frames.count[:, None]).reshape(-1)
+    # stable argsort: present-first, flat (stream-major) order preserved
+    perm = jnp.argsort(jnp.logical_not(present), stable=True)[:cap]
+    ok = present[perm]                                  # [cap]
+    w = jnp.where(ok[:, None],
+                  frames.words.reshape(s * f, -1)[perm], 0)
+    ln = jnp.where(ok, frames.length.reshape(-1)[perm], 0)
+    st = jnp.where(ok, frames.start.reshape(-1)[perm], 0)
+    sid = jnp.where(ok, perm // f, -1).astype(jnp.int32)
+    total = jnp.sum(frames.count)
+    return DenseFrames(words=w, length=ln, start=st, stream=sid,
+                       total=jnp.minimum(total, cap),
+                       over=jnp.maximum(total - cap, 0))
+
+
 def compact_candidates(frames: FrameBatch, cand_valid: jax.Array,
                        cw: jax.Array, cl: jax.Array, cs: jax.Array,
                        lost2: jax.Array, over: jax.Array) -> FrameBatch:

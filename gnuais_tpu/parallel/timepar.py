@@ -85,14 +85,19 @@ def time_parallel_decode(stream: np.ndarray, chunk_len: int = 65_536,
                          extension: int = DEFAULT_EXTENSION,
                          frame_slots: int = 64,
                          fast_dpll: bool = False,
-                         fused_pipeline: bool | None = None
+                         fused_pipeline: bool | None = None,
+                         dense_cap: Optional[int] = 8192
                          ) -> TimeParallelResult:
     """Decode one int16 stream with K parallel chunk lanes.
 
     Returns CRC-passing frames ordered by absolute start position.
     fused_pipeline=None selects the fully fused Pallas kernel on TPU
     (the lanes are exactly the batch axis it was built for) and the
-    exact XLA chain elsewhere.
+    exact XLA chain elsewhere.  dense_cap: frames are compacted across
+    lanes on device and only occupied slots travel back (the [K,
+    frame_slots] slot readback dominated the wall time over slow
+    host links); if a block somehow exceeds dense_cap frames the full
+    drain runs instead.  None disables.
     """
     if fused_pipeline is None:
         fused_pipeline = (jax.default_backend() == "tpu"
@@ -111,6 +116,26 @@ def time_parallel_decode(stream: np.ndarray, chunk_len: int = 65_536,
         lanes, jnp.int32(win), carry,
         frame_slots=frame_slots, exact_fir=True, fast_dpll=fast_dpll,
         fused_pipeline=fused_pipeline, block_base=0)
+
+    if dense_cap is not None:
+        dense = demod.dense_frames(frames, dense_cap)
+        if int(dense.over) == 0:
+            per = pl.extract_dense(dense, k)
+            out2: List[Tuple[int, Frame]] = []
+            for i, lst in enumerate(per):
+                own_lo = overlap if i > 0 else 0
+                own_hi = overlap + chunk_len
+                base = i * chunk_len - overlap
+                for st, fr in lst:
+                    if fr.crc_ok and own_lo <= st < own_hi:
+                        out2.append((base + st, fr))
+            out2.sort(key=lambda p: p[0])
+            return TimeParallelResult(
+                frames=[f for _, f in out2],
+                starts=[s for s, _ in out2],
+                chunks=k,
+            )
+        # fall through: overflow — use the full slot drain
 
     # drain + own-region filter
     start = np.asarray(frames.start)

@@ -230,6 +230,38 @@ def extract_frames(frames: demod.FrameBatch) -> List[List[Frame]]:
     return out
 
 
+def extract_dense(dense, n_streams: int) -> List[List[Tuple[int, Frame]]]:
+    """Host drain of a demod.DenseFrames: per-stream lists of
+    (absolute_start, Frame) in arrival order.  Transfers exactly
+    ``total`` frames' worth of data (plus the fixed [cap] buffers).
+
+    Reuses the native C++ drain by treating each dense row as a 1-slot
+    pseudo-stream."""
+    total = int(dense.total)
+    words = np.asarray(dense.words[:max(total, 1)])
+    length = np.asarray(dense.length[:max(total, 1)])
+    start = np.asarray(dense.start[:max(total, 1)])
+    stream = np.asarray(dense.stream[:max(total, 1)])
+    out: List[List[Tuple[int, Frame]]] = [[] for _ in range(n_streams)]
+    if total == 0:
+        return out
+    from gnuais_tpu import native
+    if native.available():
+        counts = np.ones(total, dtype=np.int32)
+        for row, payload, flen, ok in native.drain_frames(
+                words[:total, None, :], length[:total, None], counts):
+            out[int(stream[row])].append(
+                (int(start[row]), Frame(payload, flen, ok)))
+    else:
+        for j in range(total):
+            flen = int(length[j])
+            raw = _reg_to_bits(words[j], flen + C.FRAME_TAIL_BITS)
+            ok, payload = crc_check_and_extract(raw, flen)
+            out[int(stream[j])].append(
+                (int(start[j]), Frame(payload, flen, ok)))
+    return out
+
+
 @dataclass
 class StreamCounters:
     receivedframes: int = 0

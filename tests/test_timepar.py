@@ -60,3 +60,56 @@ def test_starts_are_monotonic():
     res = time_parallel_decode(audio, chunk_len=8192)
     assert res.starts == sorted(res.starts)
     assert len(set(res.starts)) == len(res.starts)  # no duplicates
+
+
+def test_dense_frames_matches_slot_drain():
+    """dense_frames + extract_dense must reproduce exactly the frames
+    the per-stream slot drain yields — order, starts and payloads —
+    and the capped-overflow fallback must engage."""
+    import jax.numpy as jnp
+
+    from gnuais_tpu.ops import demod
+    from gnuais_tpu.runtime import pipeline as pl
+
+    rng = np.random.default_rng(19)
+    payloads = [E.random_payload(rng) for _ in range(5)]
+    audio = E.synthesize_capture(payloads, gap_bits=64)
+    s, t = 3, -(-len(audio) // 512) * 512
+    x = np.zeros((s, t), dtype=np.int16)
+    for i in range(s):
+        x[i, : len(audio)] = audio
+    c0 = pl.init_carry(s)
+    _c, frames, _p = pl.decode_block(jnp.asarray(x), jnp.int32(len(audio)),
+                                     c0, frame_slots=16)
+
+    want = pl.extract_frames(frames)
+    starts = np.asarray(frames.start)
+
+    dense = demod.dense_frames(frames, cap=64)
+    assert int(dense.total) == 5 * s and int(dense.over) == 0
+    got = pl.extract_dense(dense, s)
+    for i in range(s):
+        assert len(got[i]) == len(want[i])
+        for j, ((st, fr), wf) in enumerate(zip(got[i], want[i])):
+            assert st == int(starts[i, j])
+            assert fr.crc_ok == wf.crc_ok
+            assert np.array_equal(fr.payload_bits[:fr.bufferlen],
+                                  wf.payload_bits[:wf.bufferlen])
+
+    over = demod.dense_frames(frames, cap=4)
+    assert int(over.total) == 4 and int(over.over) == 5 * s - 4
+
+
+def test_timepar_dense_drain_parity():
+    """The dense readback path must produce the same frame set as the
+    slot drain path (dense_cap=None)."""
+    rng = np.random.default_rng(23)
+    payloads = [E.random_payload(rng) for _ in range(12)]
+    audio = E.synthesize_capture(payloads, gap_bits=400)
+    stream = np.tile(audio, 3).astype(np.int16)
+    a = time_parallel_decode(stream, chunk_len=8192, dense_cap=None)
+    b = time_parallel_decode(stream, chunk_len=8192, dense_cap=512)
+    assert a.starts == b.starts and len(a.frames) == len(b.frames)
+    for x_, y_ in zip(a.frames, b.frames):
+        assert np.array_equal(x_.payload_bits[:x_.bufferlen],
+                              y_.payload_bits[:y_.bufferlen])
