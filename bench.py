@@ -139,7 +139,66 @@ def run_bench(n_streams: int = 256, block_len: int = 49_152,
     if scaling:
         extra = _measure_scaling(sps, n_streams, block_len, iters,
                                  fast, device_crc, xj, nv, superblock)
+        extra.update(_measure_timepar())
     return sps, extra
+
+
+def _measure_timepar(n_samples: int = 25_000_000):
+    """Single-stream sequence-parallel decode (BASELINE config 1 at
+    scale): one long capture split into overlap-resync chunk lanes,
+    dense cross-stream frame readback."""
+    import jax
+    import jax.numpy as jnp
+
+    from gnuais_tpu.golden import encoder as E
+    from gnuais_tpu.parallel.timepar import time_parallel_decode
+
+    try:
+        rng = np.random.default_rng(0)
+        payloads = [E.random_payload(rng) for _ in range(32)]
+        audio = E.synthesize_capture(payloads, gap_bits=2000)
+        reps = -(-n_samples // len(audio))
+        stream = np.tile(audio, reps)[:n_samples]
+        # soundcard-realistic noise floor (the reference's operating
+        # envelope): digitally-zero gaps starve the DPLL of transitions,
+        # which no bounded resync overlap can recover from — see
+        # timepar.time_parallel_decode's docstring
+        noise = rng.normal(0, 300, stream.shape)
+        stream = np.clip(stream + noise, -32768, 32767).astype(np.int16)
+        xd = jax.device_put(jnp.asarray(stream))
+        res = time_parallel_decode(xd)                     # compile
+        t0 = time.time()
+        res = time_parallel_decode(xd)
+        dt = time.time() - t0
+        # parity gate vs the carry-chained sequential decode of the
+        # SAME stream (noise costs both paths the same marginal
+        # frames; an assumed clean count would mis-blame timepar)
+        from gnuais_tpu.runtime import pipeline as pl
+
+        bl = 49_152
+        k = len(stream) // bl
+        _c, fr_k, _p = pl.decode_superblock(
+            xd[None, :k * bl], jnp.int32(k * bl), pl.init_carry(1), k,
+            frame_slots=64, fused_pipeline=True, device_crc=True)
+        seq_n = int(np.asarray(fr_k.count).sum())
+        # Frames arriving after a gap LONGER than the resync overlap are
+        # caught or missed depending on the decoder's phase random-walk
+        # through the gap's noise — true of the sequential chain (and
+        # the reference) just the same, with decorrelated outcomes.  So
+        # beyond-overlap-gap captures get a statistical gate (within
+        # 2.5% of the sequential count); exact parity for gaps within
+        # the overlap is covered by the test suite.
+        assert 0.975 * seq_n <= len(res.frames) \
+            <= seq_n + len(payloads) + 0.025 * seq_n, \
+            (len(res.frames), seq_n)
+        return {"single_stream": {
+            "samples": n_samples,
+            "sps": round(n_samples / dt, 1),
+            "x_realtime": round(n_samples / 48_000.0 / dt, 1),
+        }}
+    except Exception as e:
+        print(f"timepar measurement failed: {e!r}", file=sys.stderr)
+        return {}
 
 
 def _measure_scaling(sps_1chip, n_streams, block_len, iters, fast,

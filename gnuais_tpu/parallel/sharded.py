@@ -164,6 +164,14 @@ def make_multichip_step(mesh: Mesh, frame_slots: int = 32,
         local_nv = jnp.clip(valid_end - base, 0, win.shape[1])
 
         carry0 = pl.init_carry(s_loc)
+        # DPLL grid-phase init (see timepar.time_parallel_decode): the
+        # free-run phase at absolute position b is PLL_INC*b mod 2^16;
+        # cold phase 0 loses frames that follow silent gaps longer than
+        # the overlap.  Mod the base first so the product stays in i32.
+        pll0 = jnp.mod(C.PLL_INC * jnp.mod(base, 65536), 65536) \
+            .astype(jnp.int32)
+        carry0 = carry0._replace(dpll=carry0.dpll._replace(
+            pll=jnp.full((s_loc,), 0, jnp.int32) + pll0))
         _carry, frames, peak = pl.decode_block(
             win, local_nv, carry0, frame_slots=frame_slots,
             exact_fir=exact_fir, fast_dpll=fast_dpll,

@@ -25,6 +25,19 @@ packet parity on every test capture).
 
 Defaults: max AIS frame = (24 preamble + 8 + 449*(1+1/5 stuffing) + 8)
 bits * 5 samples < 3000 samples; DPLL lock < 1000 samples of traffic.
+
+Operating envelope caveat: resync needs TRANSITIONS.  On soundcard-real
+input the noise floor keeps the slicer crossing zero, so the DPLL locks
+within any lead overlap and packet parity vs the sequential chain holds
+(tested on noisy captures).  On *digitally silent* gaps (synthetically
+zeroed audio) there are no transitions: the continuous chain's phase
+through the gap depends on its entire nudge history, which no bounded
+window can reproduce, and a 24-bit preamble can only pull in ~24k of
+16-bit phase error — frames straight after such gaps may be lost that
+the sequential chain catches.  The grid-phase lane init below makes the
+trivial cases (stream start, all-silent prefixes) exact; for guaranteed
+parity on digitally-silent captures use the sequential chain or
+TimeParSession (exact carry hand-off).
 """
 
 from __future__ import annotations
@@ -112,6 +125,19 @@ def time_parallel_decode(stream: np.ndarray, chunk_len: int = 65_536,
     lanes = _gather_lanes(jnp.asarray(stream), k, win, chunk_len, overlap)
 
     carry = pl.init_carry(k)
+    # DPLL grid-phase init: a free-running DPLL advances exactly PLL_INC
+    # per sample (emission wrap == mod 2^16), so a lane whose window
+    # starts at absolute position b would, had it decoded from sample 0
+    # through silence, hold phase PLL_INC*b mod 2^16 at its first
+    # sample.  Cold-starting at 0 instead leaves an arbitrary offset
+    # that a silent lead overlap (no transitions -> no nudges) never
+    # corrects — a 24-bit preamble can only pull in ~24k of phase, so
+    # frames right after long silent gaps were lost (~0.5/lane on
+    # silence-gapped captures).  With noise in the overlap both inits
+    # lock; with silence this one is exact.
+    bases = np.arange(k, dtype=np.int64) * chunk_len - overlap
+    pll0 = jnp.asarray((C.PLL_INC * bases) % 65536, dtype=jnp.int32)
+    carry = carry._replace(dpll=carry.dpll._replace(pll=pll0))
     carry, frames, _ = pl.decode_block(
         lanes, jnp.int32(win), carry,
         frame_slots=frame_slots, exact_fir=True, fast_dpll=fast_dpll,

@@ -113,7 +113,7 @@ def test_checkpoint_resume_exact(tmp_path):
     save_pipeline(tmp_path / "ck.npz", p2, half)
 
     p3 = BatchPipeline(1, block_len=bl, frame_slots=64)
-    off = restore_pipeline(tmp_path / "ck.npz", p3)
+    off, _extra = restore_pipeline(tmp_path / "ck.npz", p3)
     assert off == half
     rest = run(p3, audio, start=off)
 

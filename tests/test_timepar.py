@@ -113,3 +113,31 @@ def test_timepar_dense_drain_parity():
     for x_, y_ in zip(a.frames, b.frames):
         assert np.array_equal(x_.payload_bits[:x_.bufferlen],
                               y_.payload_bits[:y_.bufferlen])
+
+
+def test_timepar_long_gaps_with_noise_floor_parity():
+    """Long inter-frame gaps at a soundcard-realistic noise floor: the
+    DPLL re-locks inside every lead overlap, so the parallel lanes must
+    reproduce the sequential chain's frame set exactly.  (Digitally
+    silent gaps are outside the resync envelope — see the module
+    docstring.)"""
+    from gnuais_tpu.runtime.pipeline import BatchPipeline
+
+    rng = np.random.default_rng(31)
+    payloads = [E.random_payload(rng) for _ in range(10)]
+    audio = E.synthesize_capture(payloads, gap_bits=2000)
+    stream = np.tile(audio, 2)
+    noise = rng.normal(0, 300, stream.shape)
+    stream = np.clip(stream + noise, -32768, 32767).astype(np.int16)
+
+    bl = 16_384
+    pipe = BatchPipeline(1, block_len=bl, frame_slots=64)
+    seq = []
+    for off in range(0, len(stream), bl):
+        seq += pipe.process(stream[None, off:off + bl])[0]
+
+    res = time_parallel_decode(stream, chunk_len=16_384)
+    assert len(res.frames) == len(seq) == 20
+    for a, b in zip(seq, res.frames):
+        assert np.array_equal(a.payload_bits[:a.bufferlen],
+                              b.payload_bits[:b.bufferlen])
