@@ -143,7 +143,7 @@ def run_bench(n_streams: int = 256, block_len: int = 49_152,
     return sps, extra
 
 
-def _measure_timepar(n_samples: int = 25_000_000):
+def _measure_timepar(n_samples: int = 100_000_000):
     """Single-stream sequence-parallel decode (BASELINE config 1 at
     scale): one long capture split into overlap-resync chunk lanes,
     dense cross-stream frame readback."""
@@ -166,9 +166,11 @@ def _measure_timepar(n_samples: int = 25_000_000):
         noise = rng.normal(0, 300, stream.shape)
         stream = np.clip(stream + noise, -32768, 32767).astype(np.int16)
         xd = jax.device_put(jnp.asarray(stream))
-        res = time_parallel_decode(xd)                     # compile
+        # 100 Msamples -> ~1527 lanes: beyond one 1024-stream tile, so
+        # this also exercises the multi-tile lane path on real silicon
+        res = time_parallel_decode(xd, dense_cap=16384)    # compile
         t0 = time.time()
-        res = time_parallel_decode(xd)
+        res = time_parallel_decode(xd, dense_cap=16384)
         dt = time.time() - t0
         # parity gate vs the carry-chained sequential decode of the
         # SAME stream (noise costs both paths the same marginal
@@ -193,6 +195,7 @@ def _measure_timepar(n_samples: int = 25_000_000):
             (len(res.frames), seq_n)
         return {"single_stream": {
             "samples": n_samples,
+            "lanes": res.chunks,
             "sps": round(n_samples / dt, 1),
             "x_realtime": round(n_samples / 48_000.0 / dt, 1),
         }}
@@ -203,9 +206,12 @@ def _measure_timepar(n_samples: int = 25_000_000):
 
 def _measure_scaling(sps_1chip, n_streams, block_len, iters, fast,
                      device_crc, xj, nv, superblock=1):
-    """BASELINE.md asks for samples/s/chip at 1 and N chips: run the
-    stream-sharded step over every local device and report parallel
-    efficiency vs the single-chip rate."""
+    """BASELINE.md asks for samples/s/chip at 1 and N chips.  This
+    environment exposes ONE chip, so with n_devices == 1 the block is
+    labeled ``single_chip_shard_overhead`` — the shard_map step vs the
+    direct step on the SAME chip (an upper bound on per-chip sharding
+    cost, NOT pod scaling).  With >1 real devices it reports genuine
+    N-chip parallel efficiency as ``scaling``."""
     import jax
 
     from gnuais_tpu.parallel import mesh as M
@@ -232,12 +238,14 @@ def _measure_scaling(sps_1chip, n_streams, block_len, iters, fast,
         jax.block_until_ready((c, frames))
         dt = (time.time() - t0) / iters
         sps_n = n_streams * block_len * superblock / dt
-        return {"scaling": {
+        block = {
             "chips": n_dev,
             "sps_1chip": round(sps_1chip, 1),
             "sps_sharded": round(sps_n, 1),
             "efficiency": round(sps_n / (n_dev * sps_1chip), 3),
-        }}
+        }
+        key = "scaling" if n_dev > 1 else "single_chip_shard_overhead"
+        return {key: block}
     except Exception as e:
         print(f"scaling measurement failed: {e!r}", file=sys.stderr)
         return {}

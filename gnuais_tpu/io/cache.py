@@ -14,6 +14,7 @@ Equivalent of the reference's splay-tree cache (cache.c) and the
 
 from __future__ import annotations
 
+import logging
 import threading
 import time as time_mod
 import urllib.request
@@ -22,6 +23,8 @@ from dataclasses import dataclass, field as dc_field
 from typing import Dict, List, Optional
 
 from gnuais_tpu.ais.parser import Event
+
+log = logging.getLogger("gnuais")
 
 
 @dataclass
@@ -263,6 +266,10 @@ def post_json(url: str, json_blob: str, timeout: float = 30.0) -> int:
         url, data=body,
         headers={"Content-Type": f"multipart/form-data; boundary={boundary}"})
     with urllib.request.urlopen(req, timeout=timeout) as resp:
+        if resp.status != 200:
+            # jsonout_post_single: non-200 is an error, logged, and the
+            # exporter carries on (out_json.c:135-140)
+            raise RuntimeError(f"server for {url} returned {resp.status}")
         return resp.status
 
 
@@ -279,6 +286,10 @@ class JsonExporter:
         self.post_fn = post_fn
         self._die = threading.Event()
         self._thread: Optional[threading.Thread] = None
+        # observability: consecutive POST failures per uplink URL (the
+        # reference hlogs every curl/HTTP failure and carries on,
+        # out_json.c:118-140 — silence here would hide a dead uplink)
+        self.consecutive_failures: Dict[str, int] = {u: 0 for u in urls}
 
     def export_once(self, now: Optional[int] = None) -> Optional[str]:
         entries = self.cache.rotate()
@@ -287,8 +298,13 @@ class JsonExporter:
             for url in self.urls:
                 try:
                     self.post_fn(url, blob)
-                except Exception:
-                    pass  # reference logs and carries on
+                    self.consecutive_failures[url] = 0
+                except Exception as e:
+                    n = self.consecutive_failures.get(url, 0) + 1
+                    self.consecutive_failures[url] = n
+                    # log-and-carry-on per jsonout_post_single
+                    log.error("JSON AIS export to %s failed: %s "
+                              "(%d consecutive)", url, e, n)
             return blob
         return None
 

@@ -120,7 +120,10 @@ def time_parallel_decode(stream: np.ndarray, chunk_len: int = 65_536,
     win = overlap + chunk_len + extension
     if fast_dpll or fused_pipeline:
         win = -(-win // 512) * 512
-        assert k <= 1024, "lane count beyond one stream tile"
+        # k > 1024 lanes ride extra stream tiles on the kernel grid
+        # (ops/fused.py n_stream_tiles) exactly like wide stream batches
+        # — no lane-count cliff (bit-exactness across tiles is pinned by
+        # test_fused_pipeline_stream_grid_multi_tile)
 
     lanes = _gather_lanes(jnp.asarray(stream), k, win, chunk_len, overlap)
 

@@ -145,6 +145,40 @@ def test_json_exporter_posts():
     assert len(posted) == 1
 
 
+def test_json_exporter_logs_failures_and_continues(caplog):
+    """A failed POST must emit a log record (out_json.c:118-140 hlogs
+    every curl failure) and the exporter must keep exporting; the
+    consecutive-failure counter tracks uplink health."""
+    import logging
+
+    calls = []
+
+    def flaky(url, blob):
+        calls.append(url)
+        if len(calls) <= 2:
+            raise OSError("connection refused")
+
+    cache = VesselCache()
+    cache.apply_event(_pos_event(1, 10.0, 20.0), 100)
+    exp = JsonExporter(cache, ["http://test/x"], "CALL", post_fn=flaky)
+    with caplog.at_level(logging.ERROR, logger="gnuais"):
+        assert exp.export_once(now=100) is not None
+    assert any("JSON AIS export" in r.message and "failed" in r.message
+               for r in caplog.records)
+    assert exp.consecutive_failures["http://test/x"] == 1
+
+    # exporter carries on: next rotation still posts, failure count grows
+    cache.apply_event(_pos_event(2, 11.0, 21.0), 200)
+    with caplog.at_level(logging.ERROR, logger="gnuais"):
+        assert exp.export_once(now=200) is not None
+    assert exp.consecutive_failures["http://test/x"] == 2
+
+    # a success resets the counter
+    cache.apply_event(_pos_event(3, 12.0, 22.0), 300)
+    assert exp.export_once(now=300) is not None
+    assert exp.consecutive_failures["http://test/x"] == 0
+
+
 # --------------------------------------------------------------- db
 
 def test_db_insert_and_keepsmall():
