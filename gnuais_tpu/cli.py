@@ -100,54 +100,165 @@ def _open_sound_device(cfg: Config, channels: int):
     return live
 
 
-def _timepar_decode(cfg: Config, stream: np.ndarray, on_message) -> int:
-    """Whole-capture time-parallel decode (mono): the ``streams``
-    directive selects host-side chunk lanes (parallel.timepar), the
-    ``meshshape`` directive runs the capture across a streams x time
-    device mesh (parallel.sharded.make_multichip_step).  Returns the
-    number of decoded CRC-passing frames."""
-    from gnuais_tpu.ais.dispatcher import ChannelDispatcher
+def _active_channels(sound_channels):
+    """(channel name, interleave offset) rows in the reference's
+    processing order — A fully before B within each block
+    (ais.c:236-248; runtime.session.DecodeSession.process_block)."""
+    if sound_channels == C.SOUND_CHANNELS_MONO:
+        return [("A", 0)]
+    if sound_channels == C.SOUND_CHANNELS_BOTH:
+        return [("A", 0), ("B", 1)]
+    if sound_channels == C.SOUND_CHANNELS_RIGHT:
+        return [("A", 0)]
+    return [("B", 1)]       # SOUND_CHANNELS_LEFT
 
-    n = len(stream)
-    disp = ChannelDispatcher("A", cfg.skip_type)
-    if cfg.meshshape:
-        import jax
-        import jax.numpy as jnp
 
-        from gnuais_tpu.parallel import mesh as M
-        from gnuais_tpu.parallel.sharded import (DEFAULT_EXTENSION,
-                                                 DEFAULT_OVERLAP,
-                                                 drain_timepar_frames,
-                                                 make_multichip_step)
-        s_ax, t_ax = (tuple(cfg.meshshape) + (1, 1))[:2]
-        o, e = DEFAULT_OVERLAP, DEFAULT_EXTENSION
-        t_loc = -(-max(o, e, -(-n // t_ax)) // 512) * 512
-        tg = t_ax * t_loc
-        buf = np.zeros((s_ax, tg), np.int16)
-        buf[:, :n] = stream
-        step = make_multichip_step(M.make_grid_mesh(s_ax, t_ax),
-                                   frame_slots=cfg.frameslots)
-        tp = step(jnp.asarray(buf), jnp.int32(n), jnp.int32(0),
-                  jnp.zeros((s_ax, o), jnp.int16),
-                  jnp.zeros((s_ax, e), jnp.int16))
-        frames = [f for _, f in drain_timepar_frames(tp, cfg.frameslots)[0]]
-        log.info("Mesh decode: %dx%d devices, %d-sample shards",
-                 s_ax, t_ax, t_loc)
-    else:
-        from gnuais_tpu.parallel.timepar import time_parallel_decode
-        chunk = max(4096, -(-(-(-n // cfg.streams)) // 512) * 512)
+class _TimeParDispatcher:
+    """Dispatch time-parallel-decoded frames in the reference's exact
+    emission order.
+
+    The reference prints a frame while the per-bit loop processes the
+    frame's stop-flag sample, and within every file-read block channel
+    A is fully processed before channel B (ais.c:214-248) — so the
+    global order key is (file block of the stop sample, channel index,
+    stop sample).  The decode paths record the stop position per frame
+    (FrameBatch.end), making this key exact.
+
+    ``emit_until(watermark)`` releases only file blocks lying entirely
+    before the watermark (the absolute sample count already drained):
+    every frame ending before the watermark has its start well inside
+    drained data, so those blocks can gain no further frames; blocks
+    touching the watermark wait for the next drain.
+    """
+
+    def __init__(self, chans, skip_type, on_message,
+                 block_frames: Optional[int] = None):
+        from gnuais_tpu.ais.dispatcher import ChannelDispatcher
+        self.chans = chans
+        self.disp = [ChannelDispatcher(name, skip_type)
+                     for name, _ in chans]
+        self.on_message = on_message
+        self.bf = block_frames or audio_io.reference_block_frames()
+        self.pending = []         # (file_block, ch_idx, end, Frame)
+
+    def add(self, ch_idx: int, items) -> None:
+        """items: iterable of (start, end, Frame), CRC-passing."""
+        for _st, en, fr in items:
+            self.pending.append((en // self.bf, ch_idx, en, fr))
+
+    def emit_until(self, watermark: Optional[int]) -> None:
+        self.pending.sort(key=lambda p: (p[0], p[1], p[2]))
+        limit = None if watermark is None else watermark // self.bf - 1
+        keep = []
+        for item in self.pending:
+            blk, ci, _en, fr = item
+            if limit is not None and blk > limit:
+                keep.append(item)
+                continue
+            msg = self.disp[ci].dispatch(fr.payload_bits, fr.bufferlen)
+            if msg is not None:
+                self.on_message(msg)
+        self.pending = keep
+
+
+def _mesh_decode(cfg: Config, chans, nch: int, block_iter, dispatcher,
+                 tee) -> tuple:
+    """Streaming mesh decode: ``meshshape s t`` runs every channel row
+    across a streams x time device mesh via TimeParSession — constant
+    O(super_block) host memory, exact carry hand-off between
+    super-blocks, works for files and live inputs alike.  Returns
+    (per-channel counters dict, samples per channel)."""
+    import jax
+
+    from gnuais_tpu.parallel import mesh as M
+    from gnuais_tpu.parallel.timepar import TimeParSession
+
+    s_ax, t_ax = (tuple(cfg.meshshape) + (1, 1))[:2]
+    n_rows = len(chans)
+    s_rows = -(-n_rows // s_ax) * s_ax     # zero-pad rows to shardable S
+    t_loc = max(4096, -(-cfg.timepar_block // 512) * 512)
+    sb = t_ax * t_loc
+    sess = TimeParSession(
+        M.make_grid_mesh(s_ax, t_ax), s_rows, sb,
+        frame_slots=max(cfg.frameslots, 32),
+        fused_pipeline=jax.default_backend() == "tpu")
+    log.info("Mesh decode: %dx%d devices, %d-sample shards, "
+             "%d-sample super-blocks, %d channel row(s)",
+             s_ax, t_ax, t_loc, sb, n_rows)
+
+    buf = np.zeros((s_rows, sb), np.int16)
+    state = {"fill": 0, "pushed": 0, "samples": 0}
+
+    def drain(per_stream, idx):
+        if per_stream is None:
+            return
+        for ci in range(n_rows):
+            dispatcher.add(ci, per_stream[ci])
+        dispatcher.emit_until((idx + 1) * sb)
+
+    def push_buffer():
+        out = sess.push(buf.copy())
+        drain(out, state["pushed"] - 1)
+        state["pushed"] += 1
+        state["fill"] = 0
+        buf[:] = 0
+
+    for block in block_iter:
+        if tee:
+            tee.write(np.asarray(block, dtype="<i2").tobytes())
+        nf = len(block) // nch
+        state["samples"] += nf
+        off = 0
+        while off < nf:
+            take = min(sb - state["fill"], nf - off)
+            f0 = state["fill"]
+            for r, (_name, ofs) in enumerate(chans):
+                seg = (block[(off * nch + ofs):((off + take) * nch):nch]
+                       if nch > 1 else block[off:off + take])
+                buf[r, f0:f0 + take] = seg
+            state["fill"] += take
+            off += take
+            if state["fill"] == sb:
+                push_buffer()
+
+    last_valid = None
+    if state["fill"] > 0:
+        last_valid = state["fill"]
+        push_buffer()
+    if state["pushed"] > 0:
+        out = sess.flush(n_valid=last_valid)
+        drain(out, state["pushed"] - 1)
+    dispatcher.emit_until(None)
+
+    counters = {name: (sess.received[ci], sess.wrong_crc[ci],
+                       sess.wrong_size[ci])
+                for ci, (name, _ofs) in enumerate(chans)}
+    return counters, state["samples"]
+
+
+def _lanes_decode(cfg: Config, chans, nch: int, interleaved: np.ndarray,
+                  dispatcher, tee) -> tuple:
+    """Whole-capture lane decode: the ``streams`` directive splits each
+    channel's stream into overlap-resync chunk lanes batched through
+    the fused kernel (parallel.timepar.time_parallel_decode)."""
+    from gnuais_tpu.parallel.timepar import time_parallel_decode
+
+    if tee:
+        tee.write(np.asarray(interleaved, dtype="<i2").tobytes())
+    n = len(interleaved) // nch
+    chunk = max(4096, -(-(-(-n // cfg.streams)) // 512) * 512)
+    counters = {}
+    for ci, (name, ofs) in enumerate(chans):
+        stream = (np.ascontiguousarray(interleaved[ofs::nch])
+                  if nch > 1 else np.asarray(interleaved))
         res = time_parallel_decode(stream, chunk_len=chunk,
                                    frame_slots=max(cfg.frameslots, 64))
-        frames = res.frames
-        log.info("Time-parallel decode: %d lanes of %d samples",
-                 res.chunks, chunk)
-    count = 0
-    for f in frames:
-        msg = disp.dispatch(f.payload_bits, f.bufferlen)
-        if msg is not None:
-            on_message(msg)
-        count += 1
-    return count
+        dispatcher.add(ci, zip(res.starts, res.ends, res.frames))
+        counters[name] = (len(res.frames), res.wrong_crc, res.wrong_size)
+        log.info("Time-parallel decode ch %s: %d lanes of %d samples",
+                 name, res.chunks, chunk)
+    dispatcher.emit_until(None)
+    return counters, n
 
 
 def run_decode(cfg: Config, out_stream=None) -> int:
@@ -179,8 +290,11 @@ def run_decode(cfg: Config, out_stream=None) -> int:
                 live = LiveInput(src, channels=nch_cfg)
                 log.info("Reading live audio from stream: %s", src)
             else:
-                interleaved, nch = audio_io.load_capture(src,
-                                                         channels=nch_cfg)
+                # raw files map lazily (O(super_block) host memory for
+                # the streaming decode paths; block iteration reads
+                # through the map on demand)
+                interleaved, nch = audio_io.open_capture_lazy(
+                    src, channels=nch_cfg)
                 log.info("Reading audio from file: %s", src)
     except OSError as e:
         log.critical("Could not open sound file %s: %s",
@@ -253,15 +367,30 @@ def run_decode(cfg: Config, out_stream=None) -> int:
     tee = open(cfg.sound_out_file, "wb") if cfg.sound_out_file else None
     t0 = time_mod.time()
     sess = None
-    timepar_count = None
-    if (live is None and nch_cfg == 1
-            and (cfg.streams > 1 or cfg.meshshape)):
-        # throughput mode: streams/meshshape directives engage the
-        # time-parallel decode paths for whole-file mono captures
-        if tee:
-            tee.write(np.asarray(interleaved, dtype="<i2").tobytes())
-        n_samples = len(interleaved)
-        timepar_count = _timepar_decode(cfg, interleaved, on_message)
+    timepar_counters = None
+    want_timepar = bool(cfg.meshshape) or cfg.streams > 1
+    if want_timepar and live is not None and not cfg.meshshape:
+        log.warning("streams > 1 lane decode needs a whole capture; "
+                    "live input decodes sequentially (use meshshape "
+                    "for streaming scale-out)")
+        want_timepar = False
+    if want_timepar:
+        # throughput mode: the streams directive engages whole-capture
+        # chunk lanes, meshshape streams super-blocks over a
+        # streams x time device mesh; both decode stereo by mapping
+        # channels A/B onto stream rows and replay the reference's
+        # emission order via the recorded stop positions
+        chans = _active_channels(cfg.sound_channels)
+        disp = _TimeParDispatcher(chans, cfg.skip_type, on_message)
+        if cfg.meshshape:
+            block_iter = (live.blocks() if live is not None
+                          else audio_io.iter_blocks(interleaved, nch_cfg,
+                                                    1 << 16))
+            timepar_counters, n_samples = _mesh_decode(
+                cfg, chans, nch_cfg, block_iter, disp, tee)
+        else:
+            timepar_counters, n_samples = _lanes_decode(
+                cfg, chans, nch_cfg, interleaved, disp, tee)
     else:
         sess = DecodeSession(make_receiver_factory(cfg),
                              sound_channels=cfg.sound_channels,
@@ -351,21 +480,31 @@ def run_decode(cfg: Config, out_stream=None) -> int:
                          "wrong CRC: %d packets, wrong size: %d packets",
                          name, r, l, l2)
     else:
-        log.info("A: Received correctly: %d packets "
-                 "(time-parallel mode reports CRC-passing frames only)",
-                 timepar_count)
+        # time-parallel paths surface the same accounting as the
+        # sequential session (ais.c:296-310)
+        for name, (r, l, l2) in timepar_counters.items():
+            log.info("%s: Received correctly: %d packets, "
+                     "wrong CRC: %d packets, wrong size: %d packets",
+                     name, r, l, l2)
     log.info("Processed %d samples in %.2fs (%.0fx real time)",
              n_samples, dt, n_samples / 48000.0 / dt if dt else 0)
     return 0
 
 
 def main(argv: Optional[List[str]] = None) -> int:
-    # the axon TPU plugin ignores JAX_PLATFORMS from the environment;
-    # honor it explicitly so `JAX_PLATFORMS=cpu gnuais-tpu ...` works
-    if os.environ.get("JAX_PLATFORMS"):
+    # the axon TPU plugin ignores JAX_PLATFORMS from the environment
+    # (it PRESETS jax.config.jax_platforms to "axon,cpu"); honor the
+    # env explicitly so `JAX_PLATFORMS=cpu gnuais-tpu ...` works — but
+    # never OVERRIDE a platform an embedding harness already pinned via
+    # jax.config (e.g. tests force "cpu" while the machine environment
+    # still says "axon"): only replace the plugin's own preset.
+    env_plat = os.environ.get("JAX_PLATFORMS")
+    if env_plat:
         try:
             import jax
-            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+            cur = jax.config.jax_platforms or ""
+            if cur != env_plat and (not cur or "axon" in cur.split(",")):
+                jax.config.update("jax_platforms", env_plat)
         except Exception:
             pass
 

@@ -128,6 +128,9 @@ class Config:
     # (runtime.supervisor): per-channel snapshots at <path>.<channel>
     checkpoint: Optional[str] = None
     checkpoint_every: int = 64   # blocks between snapshots
+    # per-time-shard samples in mesh (meshshape) decode; the streaming
+    # super-block is timepar_block * n_time_shards samples per channel
+    timepar_block: int = 65_536
 
     @property
     def have_my_loc(self) -> bool:
@@ -209,6 +212,8 @@ _DIRECTIVES = [
     ("checkpoint", lambda c, a: setattr(c, "checkpoint", a[1])),
     ("checkpointevery",
      lambda c, a: setattr(c, "checkpoint_every", int(a[1]))),
+    ("timeparblock",
+     lambda c, a: setattr(c, "timepar_block", int(a[1]))),
 ]
 
 

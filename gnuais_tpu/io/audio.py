@@ -73,6 +73,20 @@ def load_capture(path: Union[str, Path], channels: int = 1) -> Tuple[np.ndarray,
     return read_raw_s16(p, channels), channels
 
 
+def open_capture_lazy(path: Union[str, Path],
+                      channels: int = 1) -> Tuple[np.ndarray, int]:
+    """Like load_capture, but raw S16 files come back as a read-only
+    np.memmap — the streaming decode paths then hold O(super_block)
+    host memory regardless of capture size.  WAV falls back to a full
+    read (header parsing owns the offset)."""
+    p = str(path)
+    if p.lower().endswith(".wav"):
+        return load_capture(p, channels)
+    mm = np.memmap(p, dtype="<i2", mode="r")
+    n = (len(mm) // channels) * channels
+    return mm[:n], channels
+
+
 def iter_blocks(interleaved: np.ndarray, channels: int,
                 block_frames: Optional[int] = None) -> Iterator[np.ndarray]:
     """Yield interleaved blocks of block_frames frames (last may be

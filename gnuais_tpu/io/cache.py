@@ -169,13 +169,25 @@ def time_jsonais(t: int) -> str:
     return time_mod.strftime("%Y%m%d%H%M%S", time_mod.gmtime(t))
 
 
+def _f32(v: float) -> float:
+    """The reference cache stores floats as C float (cache.h:33-37);
+    printf then prints the float32-rounded value (60.15 -> 60.1500015
+    at %.7f).  Reproduce that storage rounding."""
+    import struct
+    return struct.unpack("f", struct.pack("f", v))[0]
+
+
 def export_json(entries: Dict[int, CacheEntry], mycall: str,
                 now: Optional[int] = None) -> tuple[str, int]:
     """Build the JSON-AIS blob; returns (json, exported_count).
 
     Field order, separators and printf formats mirror jsonout_export
-    (out_json.c:226-338).  Iteration is ascending MMSI (the reference
-    walks its key-ordered splay tree).
+    (out_json.c:226-338) — byte-verified against the real reference
+    exporter + libcurl POST path by tests/test_uplink_oracle.py.
+    Iteration is ascending MMSI (the reference walks its key-ordered
+    splay tree).  String presence follows C pointer semantics: an empty
+    string is still set (prints ``"destination": ""``), only never-set
+    fields (None) are omitted.
     """
     now = int(now if now is not None else time_mod.time())
     parts: List[str] = []
@@ -200,35 +212,34 @@ def export_json(entries: Dict[int, CacheEntry], mycall: str,
         if e.mmsi and got_pos:
             s = (f"{sep()}{{\"msgtype\": 3, \"mmsi\": {e.mmsi}, "
                  f"\"rxtime\": \"{time_jsonais(e.received_pos)}\"")
-            s += f", \"lat\": {e.lat:.7f}, \"lon\": {e.lon:.7f}"
+            s += f", \"lat\": {_f32(e.lat):.7f}, \"lon\": {_f32(e.lon):.7f}"
             if e.course >= 0:
-                s += f", \"course\": {e.course:.1f}"
+                s += f", \"course\": {_f32(e.course):.1f}"
             if e.hdg >= 0:
                 s += f", \"heading\": {e.hdg}"
             if e.sog >= 0:
-                s += f", \"speed\": {e.sog:.1f}"
+                s += f", \"speed\": {_f32(e.sog):.1f}"
             if e.navstat >= 0:
                 s += f", \"status\": {e.navstat}"
             s += "}"
             parts.append(s)
             exported += 1
-        if e.mmsi and e.name:
+        if e.mmsi and e.name is not None:
             s = (f"{sep()}{{\"msgtype\": 5, \"mmsi\": {e.mmsi}, "
                  f"\"rxtime\": \"{time_jsonais(e.received_data)}\"")
             if e.imo >= 0:
                 s += f", \"imo\": {e.imo}"
             if e.shiptype >= 0:
                 s += f", \"shiptype\": {e.shiptype}"
-            if e.callsign:
+            if e.callsign is not None:
                 s += f", \"callsign\": \"{e.callsign}\""
-            if e.name:
-                s += f", \"shipname\": \"{e.name}\""
-            if e.destination:
+            s += f", \"shipname\": \"{e.name}\""
+            if e.destination is not None:
                 s += f", \"destination\": \"{e.destination}\""
             if e.A >= 0 and e.B >= 0:
                 s += f", \"length\": {e.A + e.B}, \"ref_front\": {e.A}"
             if e.draught >= 0:
-                s += f", \"draught\": {e.draught:.1f}"
+                s += f", \"draught\": {_f32(e.draught):.1f}"
             if e.C >= 0 and e.D >= 0:
                 s += f", \"width\": {e.C + e.D}, \"ref_left\": {e.C}"
             s += "}"

@@ -153,6 +153,12 @@ class FrameBatch(NamedTuple):
     words: jax.Array     # [S, F, REG_WORDS] uint32 register snapshots
     length: jax.Array    # [S, F] int32 payload bit count (bufferpos - 22)
     start: jax.Array     # [S, F] int32 sample index of the frame's data start
+    # [S, F] int32 sample index of the stop-flag bit that completed the
+    # frame — the reference EMITS (printf/NMEA) while processing exactly
+    # this sample (protodec.c:1104 inside the per-bit loop), so this is
+    # the coordinate that reproduces its output interleaving (e.g. A/B
+    # channel ordering within 1020-frame blocks, ais.c:236-248)
+    end: jax.Array
     count: jax.Array     # [S] int32 frames emitted
     lost2: jax.Array     # [S] int32 bad stop-sign frames (wrong size)
     dropped: jax.Array   # [S] int32 frames lost to slot overflow
@@ -178,6 +184,7 @@ def init_frames(n_streams: int, frame_slots: int) -> FrameBatch:
         words=jnp.zeros((n_streams, frame_slots, REG_WORDS), dtype=jnp.uint32),
         length=jnp.zeros((n_streams, frame_slots), dtype=jnp.int32),
         start=jnp.zeros((n_streams, frame_slots), dtype=jnp.int32),
+        end=jnp.zeros((n_streams, frame_slots), dtype=jnp.int32),
         count=z, lost2=z, dropped=z, crcfail=z,
     )
 
@@ -205,18 +212,29 @@ MINI_SLOTS = 2
 
 def hdlc_scan(bitrows: jax.Array, slot_valid: jax.Array,
               state: HdlcState, frames: FrameBatch,
-              pos_rows: jax.Array | None = None
+              pos_rows: jax.Array | None = None,
+              lost2_lo: jax.Array | None = None,
+              lost2_hi: jax.Array | None = None
               ) -> Tuple[HdlcState, FrameBatch]:
     """Run the deframer over dense bit rows.
 
     bitrows/slot_valid: [S, M]; M steps, each a vectorized exact
     re-derivation of the reference's per-bit switch (protodec.c:993-1121).
     pos_rows (optional, [S, M] int32) carries per-bit sample indices so
-    emitted frames record their data-start position (time-parallel
-    dedup coordinate).
+    emitted frames record their data-start and stop positions
+    (time-parallel dedup / emission-order coordinates).
+    lost2_lo/lost2_hi (optional scalars): count wrong-size stop events
+    only when their sample position lies in [lo, hi) — overlap-decode
+    callers (timepar lanes, mesh shards) gate on their own region so
+    the union over shards counts each event exactly once, matching the
+    sequential chain's lostframes2 (protodec.c:1107-1112).
     """
     if pos_rows is None:
         pos_rows = jnp.zeros_like(bitrows)
+    if lost2_lo is None:
+        lost2_lo = jnp.int32(-2**31)
+    if lost2_hi is None:
+        lost2_hi = jnp.int32(2**31 - 1)
     s, m = bitrows.shape
     frame_slots = frames.words.shape[1]
     rows = jnp.arange(s)
@@ -354,7 +372,7 @@ def hdlc_scan(bitrows: jax.Array, slot_valid: jax.Array,
         # ---- frame emission into the chunk mini-buffer ---------------
         # Elementwise slot selection (no scatter): completions within a
         # chunk are < MINI_SLOTS by the spacing argument above.
-        words_m, flen_m, start_m, cnt_m, lost2_m, over_m = mini
+        words_m, flen_m, start_m, end_m, cnt_m, lost2_m, over_m = mini
         emit = is_stop & good & valid
         sel = (jnp.arange(MINI_SLOTS)[None, :] == cnt_m[:, None]) & \
             emit[:, None]                                   # [S, MINI]
@@ -362,11 +380,13 @@ def hdlc_scan(bitrows: jax.Array, slot_valid: jax.Array,
                             words_m)
         flen_m = jnp.where(sel, flen[:, None], flen_m)
         start_m = jnp.where(sel, st.data_start[:, None], start_m)
+        end_m = jnp.where(sel, spos[:, None], end_m)
         cnt_m = cnt_m + emit.astype(jnp.int32)
         lost2_m = lost2_m + (is_stop & jnp.logical_not(good) & valid
+                             & (spos >= lost2_lo) & (spos < lost2_hi)
                              ).astype(jnp.int32)
         over_m = over_m + (emit & (cnt_m > MINI_SLOTS)).astype(jnp.int32)
-        return (new_st, (words_m, flen_m, start_m, cnt_m, lost2_m,
+        return (new_st, (words_m, flen_m, start_m, end_m, cnt_m, lost2_m,
                          over_m)), None
 
     def chunk_body(st, xs):
@@ -374,6 +394,7 @@ def hdlc_scan(bitrows: jax.Array, slot_valid: jax.Array,
         mini0 = (
             jnp.zeros((s, MINI_SLOTS, REG_WORDS), dtype=jnp.uint32)
             + zvary[:, None, None].astype(jnp.uint32),
+            jnp.zeros((s, MINI_SLOTS), dtype=jnp.int32) + zvary[:, None],
             jnp.zeros((s, MINI_SLOTS), dtype=jnp.int32) + zvary[:, None],
             jnp.zeros((s, MINI_SLOTS), dtype=jnp.int32) + zvary[:, None],
             zvary,
@@ -391,7 +412,7 @@ def hdlc_scan(bitrows: jax.Array, slot_valid: jax.Array,
     state, minis = jax.lax.scan(
         chunk_body, state,
         (chunked(bitrows), chunked(slot_valid), chunked(pos_rows)))
-    words_c, flen_c, start_c, cnt_c, lost2_c, over_c = minis
+    words_c, flen_c, start_c, end_c, cnt_c, lost2_c, over_c = minis
 
     # ---- compact chunk candidates into FrameBatch slots -------------
     # candidates in (chunk, mini-slot) order = arrival order
@@ -402,9 +423,10 @@ def hdlc_scan(bitrows: jax.Array, slot_valid: jax.Array,
     cw = words_c.transpose(1, 0, 2, 3).reshape(s, k, REG_WORDS)
     cl = flen_c.transpose(1, 0, 2).reshape(s, k)
     cs = start_c.transpose(1, 0, 2).reshape(s, k)
+    ce = end_c.transpose(1, 0, 2).reshape(s, k)
 
     frames = compact_candidates(
-        frames, cand_valid, cw, cl, cs,
+        frames, cand_valid, cw, cl, cs, ce,
         lost2=jnp.sum(lost2_c, axis=0).astype(jnp.int32),
         over=jnp.sum(over_c, axis=0).astype(jnp.int32))
     return state, frames
@@ -418,6 +440,7 @@ class DenseFrames(NamedTuple):
     words: jax.Array     # [CAP, REG_WORDS] uint32
     length: jax.Array    # [CAP] int32
     start: jax.Array     # [CAP] int32
+    end: jax.Array       # [CAP] int32 stop-flag (emission) position
     stream: jax.Array    # [CAP] int32 source stream id
     total: jax.Array     # scalar int32 frames present (<= CAP)
     over: jax.Array      # scalar int32 frames dropped (total beyond CAP)
@@ -440,19 +463,21 @@ def dense_frames(frames: FrameBatch, cap: int) -> DenseFrames:
                   frames.words.reshape(s * f, -1)[perm], 0)
     ln = jnp.where(ok, frames.length.reshape(-1)[perm], 0)
     st = jnp.where(ok, frames.start.reshape(-1)[perm], 0)
+    en = jnp.where(ok, frames.end.reshape(-1)[perm], 0)
     sid = jnp.where(ok, perm // f, -1).astype(jnp.int32)
     total = jnp.sum(frames.count)
-    return DenseFrames(words=w, length=ln, start=st, stream=sid,
+    return DenseFrames(words=w, length=ln, start=st, end=en, stream=sid,
                        total=jnp.minimum(total, cap),
                        over=jnp.maximum(total - cap, 0))
 
 
 def compact_candidates(frames: FrameBatch, cand_valid: jax.Array,
                        cw: jax.Array, cl: jax.Array, cs: jax.Array,
-                       lost2: jax.Array, over: jax.Array) -> FrameBatch:
+                       ce: jax.Array, lost2: jax.Array,
+                       over: jax.Array) -> FrameBatch:
     """Move frame candidates (arrival order along axis 1) into dense
     FrameBatch slots.  cand_valid [S, K] bool; cw [S, K, REG_WORDS];
-    cl/cs [S, K]; lost2/over [S] counters to accumulate.
+    cl/cs/ce [S, K]; lost2/over [S] counters to accumulate.
 
     TPU-native formulation: a slot-scatter serializes on TPU (measured
     ~6 ms/block at S=1024, K=384 — as long as the whole fused decode
@@ -478,7 +503,7 @@ def compact_candidates(frames: FrameBatch, cand_valid: jax.Array,
     found = jnp.any(hit, axis=1)                         # [S, F]
 
     # 8-bit-split features: words as 4 bytes each, length lo/hi,
-    # start as 4 bytes -> [S, K, 4W + 6]
+    # start + end as 4 bytes each -> [S, K, 4W + 10]
     def bytes_of(v32, n):
         u = v32.astype(jnp.uint32)
         return [((u >> (8 * i)) & 0xFF).astype(jnp.float32)
@@ -487,10 +512,11 @@ def compact_candidates(frames: FrameBatch, cand_valid: jax.Array,
     feats = jnp.concatenate(
         [((cw >> (8 * i)) & 0xFF).astype(jnp.float32) for i in range(4)]
         + [p[:, :, None] for p in bytes_of(cl, 2)]
-        + [p[:, :, None] for p in bytes_of(cs, 4)], axis=2)
+        + [p[:, :, None] for p in bytes_of(cs, 4)]
+        + [p[:, :, None] for p in bytes_of(ce, 4)], axis=2)
     out = jnp.einsum("skj,skd->sjd", hitf, feats,
                      preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)  # [S, F, 4W+6]
+                     precision=jax.lax.Precision.HIGHEST)  # [S, F, 4W+10]
 
     def unbytes(parts):
         acc = parts[0].astype(jnp.uint32)
@@ -503,10 +529,13 @@ def compact_candidates(frames: FrameBatch, cand_valid: jax.Array,
         .astype(jnp.int32)
     g_start = unbytes([out[..., 4 * w + 2 + i] for i in range(4)]) \
         .astype(jnp.int32)
+    g_end = unbytes([out[..., 4 * w + 6 + i] for i in range(4)]) \
+        .astype(jnp.int32)
 
     new_words = jnp.where(found[:, :, None], g_words, frames.words)
     new_len = jnp.where(found, g_len, frames.length)
     new_start = jnp.where(found, g_start, frames.start)
+    new_end = jnp.where(found, g_end, frames.end)
 
     n_new = jnp.sum(cand_valid, axis=1).astype(jnp.int32)
     n_over = jnp.sum(overflow, axis=1).astype(jnp.int32) + over
@@ -514,6 +543,7 @@ def compact_candidates(frames: FrameBatch, cand_valid: jax.Array,
         words=new_words,
         length=new_len,
         start=new_start,
+        end=new_end,
         count=jnp.minimum(frames.count + n_new, frame_slots),
         lost2=frames.lost2 + lost2,
         dropped=frames.dropped + n_over,

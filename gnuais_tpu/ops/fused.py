@@ -564,22 +564,26 @@ def _fir_band_matrix(unroll: int) -> np.ndarray:
 
 def _pipeline_kernel(scal_ref, x_ref, pll_in, prev_in, last_in, hist_in,
                      hst_in, sreg_in,
-                     mwords_ref, mlen_ref, mstart_ref, mcnt_ref,
+                     mwords_ref, mlen_ref, mstart_ref, mend_ref, mcnt_ref,
                      pll_out, prev_out, last_out, hst_out, sreg_out,
                      lost2_out, over_out,
-                     state, hist, hst, sreg, mwords, mlen, mstart, mctr,
+                     state, hist, hst, sreg, mwords, mlen, mstart, mend,
+                     mctr,
                      unroll: int = 32, guarded: bool = True,
                      chunks_per_tile: int | None = None,
                      with_fir: bool = True, fir_mode: str = "vpu",
                      amat_ref=None):
     """One grid step of the fully fused decode pipeline.
 
-    scal_ref: [2] int32 = (n_valid, block_base).  Per grid step, TC raw
-    sample tiles stream in; frame snapshots land in per-HDLC-chunk mini
-    buffers (<= MINI_SLOTS completions per 64-slot chunk — see the
-    spacing argument at demod.HDLC_CHUNK) flushed to mwords/mlen/
-    mstart/mcnt.  lost2/over accumulate across the whole call and are
-    written once at the end.
+    scal_ref: [4] int32 = (n_valid, block_base, lost2_lo, lost2_hi).
+    Per grid step, TC raw sample tiles stream in; frame snapshots land
+    in per-HDLC-chunk mini buffers (<= MINI_SLOTS completions per
+    64-slot chunk — see the spacing argument at demod.HDLC_CHUNK)
+    flushed to mwords/mlen/mstart/mend/mcnt.  lost2/over accumulate
+    across the whole call and are written once at the end; lost2 counts
+    only wrong-size stops whose position lies in [lost2_lo, lost2_hi)
+    (overlap-decode callers gate on their own region — see
+    demod.hdlc_scan).
     """
     tc = x_ref.shape[0]
     idx = pl.program_id(0)
@@ -601,6 +605,8 @@ def _pipeline_kernel(scal_ref, x_ref, pll_in, prev_in, last_in, hist_in,
 
     n_valid = scal_ref[0]
     block_base = scal_ref[1]
+    l2_lo = scal_ref[2]
+    l2_hi = scal_ref[3]
 
     def body(u, _):
         base = u * unroll
@@ -665,12 +671,13 @@ def _pipeline_kernel(scal_ref, x_ref, pll_in, prev_in, last_in, hist_in,
                     + (acc & 3)
                 hv, srg, emit, flen, bad = _hdlc_slot_tiles(
                     hv, srg, gbit, gval, spos)
-                ml2 = ml2 + bad.astype(jnp.int32)
+                ml2 = ml2 + (bad & (spos >= l2_lo) & (spos < l2_hi)
+                             ).astype(jnp.int32)
                 mover = mover + (emit & (mcnt >= MINI_SLOTS)
                                  ).astype(jnp.int32)
 
                 def snapshot(emit=emit, flen=flen, srg=srg, hv=hv,
-                             mcnt=mcnt):
+                             mcnt=mcnt, spos=spos):
                     for m in range(MINI_SLOTS):
                         sel = emit & (mcnt == m)
                         for w in range(REG_WORDS):
@@ -678,6 +685,7 @@ def _pipeline_kernel(scal_ref, x_ref, pll_in, prev_in, last_in, hist_in,
                                                      mwords[m, w])
                         mlen[m] = jnp.where(sel, flen, mlen[m])
                         mstart[m] = jnp.where(sel, hv[7], mstart[m])
+                        mend[m] = jnp.where(sel, spos, mend[m])
 
                 if guarded:
                     pl.when(jnp.any(emit))(snapshot)
@@ -707,6 +715,7 @@ def _pipeline_kernel(scal_ref, x_ref, pll_in, prev_in, last_in, hist_in,
             mwords_ref[pl.ds(c, 1)] = mwords[:][None]
             mlen_ref[pl.ds(c, 1)] = mlen[:][None]
             mstart_ref[pl.ds(c, 1)] = mstart[:][None]
+            mend_ref[pl.ds(c, 1)] = mend[:][None]
             mcnt_ref[pl.ds(c, 1)] = mcnt[None]
 
         mctr[0] = jnp.where(flush, 0, mcnt)
@@ -763,16 +772,19 @@ def pipeline_fused(samples: jax.Array, n_valid: jax.Array,
                    block_base: jax.Array | int = 0,
                    time_chunk: int = 512, interpret: bool | None = None,
                    unroll: int = 32, guarded: bool = True,
-                   prefiltered: bool = False, fir_mode: str = "vpu"):
+                   prefiltered: bool = False, fir_mode: str = "vpu",
+                   lost2_lo: jax.Array | None = None,
+                   lost2_hi: jax.Array | None = None):
     """Fused raw-samples -> frame-candidates decode step.
 
     samples: int16/float32 [S, T] (any S — streams beyond 1024 ride
     extra grid tiles), T a multiple of time_chunk (and time_chunk of
     4*HDLC_CHUNK).  Returns (cand_valid [S, K] bool, cw [S, K,
-    REG_WORDS] uint32, cl [S, K], cs [S, K], lost2 [S], over [S],
-    new_history, new_dpll, new_hdlc) — bit-identical to fir_exact +
-    dpll_scan + group_reduce_bits + hdlc_scan; feed the candidates to
-    demod.compact_candidates.
+    REG_WORDS] uint32, cl [S, K], cs [S, K], ce [S, K], lost2 [S],
+    over [S], new_history, new_dpll, new_hdlc) — bit-identical to
+    fir_exact + dpll_scan + group_reduce_bits + hdlc_scan; feed the
+    candidates to demod.compact_candidates.  lost2_lo/lost2_hi: see
+    demod.hdlc_scan.
 
     prefiltered=True: ``samples`` is the already-FILTERED float32 block
     (e.g. from the MXU convolution fir.fir_conv) — the in-kernel FIR is
@@ -838,6 +850,8 @@ def pipeline_fused(samples: jax.Array, n_valid: jax.Array,
                              lambda i, nv: (i, 0, 0, 0)),
                 pl.BlockSpec((nch, MINI_SLOTS, SUBLANES, LANES),
                              lambda i, nv: (i, 0, 0, 0)),
+                pl.BlockSpec((nch, MINI_SLOTS, SUBLANES, LANES),
+                             lambda i, nv: (i, 0, 0, 0)),
                 pl.BlockSpec((nch, SUBLANES, LANES),
                              lambda i, nv: (i, 0, 0)),
                 tile2, tile2, tile2,
@@ -856,12 +870,15 @@ def pipeline_fused(samples: jax.Array, n_valid: jax.Array,
                            jnp.uint32),
                 pltpu.VMEM((MINI_SLOTS, SUBLANES, LANES), jnp.int32),
                 pltpu.VMEM((MINI_SLOTS, SUBLANES, LANES), jnp.int32),
+                pltpu.VMEM((MINI_SLOTS, SUBLANES, LANES), jnp.int32),
                 pltpu.VMEM((3, SUBLANES, LANES), jnp.int32),
             ],
         ),
         out_shape=[
             jax.ShapeDtypeStruct((nt * n_chunks, MINI_SLOTS, REG_WORDS,
                                   SUBLANES, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((nt * n_chunks, MINI_SLOTS, SUBLANES,
+                                  LANES), jnp.int32),
             jax.ShapeDtypeStruct((nt * n_chunks, MINI_SLOTS, SUBLANES,
                                   LANES), jnp.int32),
             jax.ShapeDtypeStruct((nt * n_chunks, MINI_SLOTS, SUBLANES,
@@ -880,8 +897,15 @@ def pipeline_fused(samples: jax.Array, n_valid: jax.Array,
         ],
         interpret=interpret,
     )
-    scal = jnp.asarray([n_valid, block_base], dtype=jnp.int32)
-    (mwords_t, mlen_t, mstart_t, mcnt_t, pll2, prev2, last2,
+    if lost2_lo is None:
+        lost2_lo = jnp.int32(-2**31)
+    if lost2_hi is None:
+        lost2_hi = jnp.int32(2**31 - 1)
+    scal = jnp.stack([jnp.asarray(n_valid, jnp.int32),
+                      jnp.asarray(block_base, jnp.int32),
+                      jnp.asarray(lost2_lo, jnp.int32),
+                      jnp.asarray(lost2_hi, jnp.int32)])
+    (mwords_t, mlen_t, mstart_t, mend_t, mcnt_t, pll2, prev2, last2,
      hvt2, hrt2, lost2_t, over_t) = kernel(
         scal, tiles,
         _state_to_tiles(dpll.pll),
@@ -899,6 +923,8 @@ def pipeline_fused(samples: jax.Array, n_valid: jax.Array,
     cl = mlen_t.reshape(nt, n_chunks, MINI_SLOTS, TILE_STREAMS) \
         .transpose(0, 3, 1, 2).reshape(nt * TILE_STREAMS, k)[:s]
     cs = mstart_t.reshape(nt, n_chunks, MINI_SLOTS, TILE_STREAMS) \
+        .transpose(0, 3, 1, 2).reshape(nt * TILE_STREAMS, k)[:s]
+    ce = mend_t.reshape(nt, n_chunks, MINI_SLOTS, TILE_STREAMS) \
         .transpose(0, 3, 1, 2).reshape(nt * TILE_STREAMS, k)[:s]
     cnt = mcnt_t.reshape(nt, n_chunks, TILE_STREAMS) \
         .transpose(0, 2, 1).reshape(nt * TILE_STREAMS, n_chunks)[:s]
@@ -919,5 +945,5 @@ def pipeline_fused(samples: jax.Array, n_valid: jax.Array,
         lastbit=_tiles_to_state(last2, s),
     )
     new_hdlc = _tiles_to_hdlc_state(hvt2, hrt2, s)
-    return (cand_valid, cw, cl, cs, lost2, over,
+    return (cand_valid, cw, cl, cs, ce, lost2, over,
             new_history, new_dpll, new_hdlc)

@@ -100,9 +100,12 @@ class TimeParFrames(NamedTuple):
     words: jax.Array     # [S, nt*F, REG_WORDS] uint32 register snapshots
     length: jax.Array    # [S, nt*F] int32 payload bit count
     start: jax.Array     # [S, nt*F] int32 absolute data-start sample
+    end: jax.Array       # [S, nt*F] int32 absolute stop-flag sample
     count: jax.Array     # [S, nt] int32 owned frames per time shard
-    lost2: jax.Array     # [S, nt] int32 bad stop flags (overlap regions
-    #                      double-count: diagnostic, not parity-exact)
+    lost2: jax.Array     # [S, nt] int32 bad stop flags, counted only in
+    #                      the shard's own region — the union over
+    #                      shards equals the sequential chain's
+    #                      lostframes2 (within the resync envelope)
     peak: jax.Array      # [S, nt] int32 raw-sample peak per shard
 
 
@@ -172,10 +175,17 @@ def make_multichip_step(mesh: Mesh, frame_slots: int = 32,
             .astype(jnp.int32)
         carry0 = carry0._replace(dpll=carry0.dpll._replace(
             pll=jnp.full((s_loc,), 0, jnp.int32) + pll0))
+        # lost2 position gate: wrong-size stops are scalar-counted (no
+        # slot/dedup machinery), so each shard counts only events whose
+        # stop position lies in its margin-free own region — the regions
+        # tile the timeline, so the union counts each event once, like
+        # the sequential chain (protodec.c:1107-1112)
         _carry, frames, peak = pl.decode_block(
             win, local_nv, carry0, frame_slots=frame_slots,
             exact_fir=exact_fir, fast_dpll=fast_dpll,
-            fused_pipeline=fused_pipeline, block_base=base)
+            fused_pipeline=fused_pipeline, block_base=base,
+            lost2_lo=global_base + ti * t_loc,
+            lost2_hi=global_base + (ti + 1) * t_loc)
 
         # ownership: keep frames whose data start lies in the own region
         # (with jitter margin; the drain dedups boundary duplicates)
@@ -186,10 +196,10 @@ def make_multichip_step(mesh: Mesh, frame_slots: int = 32,
         owned = present & (frames.start >= own_lo) & (frames.start < own_hi)
         out = demod.compact_candidates(
             demod.init_frames(s_loc, frame_slots), owned,
-            frames.words, frames.length, frames.start,
+            frames.words, frames.length, frames.start, frames.end,
             lost2=frames.lost2, over=frames.dropped)
-        return (out.words, out.length, out.start, out.count[:, None],
-                out.lost2[:, None], peak[:, None])
+        return (out.words, out.length, out.start, out.end,
+                out.count[:, None], out.lost2[:, None], peak[:, None])
 
     sharded = jax.shard_map(
         body, mesh=mesh,
@@ -197,65 +207,78 @@ def make_multichip_step(mesh: Mesh, frame_slots: int = 32,
                   P("streams", None), P("streams", None)),
         out_specs=(P("streams", "time", None), P("streams", "time"),
                    P("streams", "time"), P("streams", "time"),
-                   P("streams", "time"), P("streams", "time")),
+                   P("streams", "time"), P("streams", "time"),
+                   P("streams", "time")),
         check_vma=False,
     )
 
     def step(samples, valid_end, global_base, prev_tail, next_head):
-        w, l, st, cnt, l2, pk = sharded(samples, valid_end, global_base,
-                                        prev_tail, next_head)
-        return TimeParFrames(w, l, st, cnt, l2, pk)
+        w, l, st, en, cnt, l2, pk = sharded(samples, valid_end,
+                                            global_base, prev_tail,
+                                            next_head)
+        return TimeParFrames(w, l, st, en, cnt, l2, pk)
 
     return jax.jit(step)
 
 
-def dedup_by_start(seq: List[Tuple[int, Frame]],
-                   prev_start: int | None = None
-                   ) -> List[Tuple[int, Frame]]:
-    """Drop boundary duplicates: a frame whose start is within
+def dedup_by_start(seq: List[tuple],
+                   prev_start: int | None = None) -> List[tuple]:
+    """Drop boundary duplicates: a frame whose start (item[0]) is within
     2*OWN_MARGIN of the previously kept frame is the same frame decoded
     by the neighboring shard (distinct frames are >= ~235 samples
     apart).  ``prev_start`` chains the dedup across super-blocks."""
-    out: List[Tuple[int, Frame]] = []
+    out: List[tuple] = []
     last = prev_start if prev_start is not None else -(10 ** 9)
-    for st, f in seq:
+    for item in seq:
+        st = item[0]
         if st <= last + 2 * OWN_MARGIN:
             continue
-        out.append((st, f))
+        out.append(item)
         last = st
     return out
 
 
 def drain_timepar_frames(tp: TimeParFrames, frame_slots: int,
-                         prev_starts: List[int] | None = None
-                         ) -> List[List[Tuple[int, Frame]]]:
+                         prev_starts: List[int] | None = None,
+                         with_stats: bool = False,
+                         prev_bad_starts: List[int] | None = None):
     """Host drain of a TimeParFrames: per stream, CRC-passing frames as
-    (absolute_start, Frame) ordered by start position, boundary
-    duplicates removed.  Time-shard slot blocks are flattened through
-    the native drain by treating (stream, shard) pairs as
-    pseudo-streams.  ``prev_starts`` (per stream) chains duplicate
-    removal across streamed super-blocks."""
+    (absolute_start, absolute_end, Frame) ordered by start position,
+    boundary duplicates removed.  ``end`` is the stop-flag sample — the
+    reference's emission point, used to reproduce its output
+    interleaving.  Time-shard slot blocks are flattened through the
+    native drain by treating (stream, shard) pairs as pseudo-streams.
+    ``prev_starts`` (per stream) chains duplicate removal across
+    streamed super-blocks.
+
+    with_stats=True additionally returns per-stream deduped wrong-CRC
+    frame counts (the reference's lostframes, ais.c:296-310);
+    ``prev_bad_starts`` chains their dedup across super-blocks."""
     words = np.asarray(tp.words)
     length = np.asarray(tp.length)
     start = np.asarray(tp.start)
+    end = np.asarray(tp.end)
     count = np.asarray(tp.count)
     s, nt = count.shape
     w = words.reshape(s * nt, frame_slots, words.shape[-1])
     ln = length.reshape(s * nt, frame_slots)
     ct = count.reshape(s * nt)
 
-    out: List[List[Tuple[int, Frame]]] = [[] for _ in range(s)]
+    out: List[List[Tuple[int, int, Frame]]] = [[] for _ in range(s)]
+    bad: List[List[Tuple[int]]] = [[] for _ in range(s)]
     from gnuais_tpu import native
     if native.available():
         seen = np.zeros(s * nt, dtype=np.int64)   # arrival index per pair
         for ps, payload, flen, ok in native.drain_frames(w, ln, ct):
             slot = int(seen[ps])
             seen[ps] += 1
-            if not ok:
-                continue
             stream, shard = divmod(ps, nt)
+            j = shard * frame_slots + slot
+            if not ok:
+                bad[stream].append((int(start[stream, j]),))
+                continue
             out[stream].append(
-                (int(start[stream, shard * frame_slots + slot]),
+                (int(start[stream, j]), int(end[stream, j]),
                  Frame(payload, flen, True)))
     else:
         from gnuais_tpu.golden.model import crc_check_and_extract
@@ -268,7 +291,22 @@ def drain_timepar_frames(tp: TimeParFrames, frame_slots: int,
                                           flen + C.FRAME_TAIL_BITS)
                     ok, payload = crc_check_and_extract(raw, flen)
                     if ok:
-                        out[stream].append((int(start[stream, base + k]),
-                                            Frame(payload, flen, True)))
-    return [dedup_by_start(lst, prev_starts[i] if prev_starts else None)
+                        out[stream].append(
+                            (int(start[stream, base + k]),
+                             int(end[stream, base + k]),
+                             Frame(payload, flen, True)))
+                    else:
+                        bad[stream].append(
+                            (int(start[stream, base + k]),))
+    kept = [dedup_by_start(lst, prev_starts[i] if prev_starts else None)
             for i, lst in enumerate(out)]
+    if not with_stats:
+        return kept
+    bad_counts = [
+        len(dedup_by_start(lst,
+                           prev_bad_starts[i] if prev_bad_starts else None))
+        for i, lst in enumerate(bad)]
+    bad_last = [(lst[-1][0] if lst else
+                 (prev_bad_starts[i] if prev_bad_starts else -10 ** 9))
+                for i, lst in enumerate(bad)]
+    return kept, bad_counts, bad_last

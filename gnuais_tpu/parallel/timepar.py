@@ -65,6 +65,10 @@ class TimeParallelResult:
     frames: List[Frame]
     starts: List[int]            # absolute data-start sample per frame
     chunks: int
+    ends: List[int] = None       # absolute stop-flag (emission) sample
+    wrong_crc: int = 0           # deframed, owned, CRC-failed (deduped)
+    wrong_size: int = 0          # bad stop flags in own regions (the
+    #                              reference's lostframes2)
 
 
 def _plan(n: int, chunk_len: int, overlap: int, ext: int) -> int:
@@ -141,38 +145,68 @@ def time_parallel_decode(stream: np.ndarray, chunk_len: int = 65_536,
     bases = np.arange(k, dtype=np.int64) * chunk_len - overlap
     pll0 = jnp.asarray((C.PLL_INC * bases) % 65536, dtype=jnp.int32)
     carry = carry._replace(dpll=carry.dpll._replace(pll=pll0))
+    # lost2 gate: every lane's own region is [overlap, overlap +
+    # chunk_len) in window coordinates (block_base=0), so the scalar
+    # bounds gate wrong-size stops to exactly one owning lane each —
+    # the summed counter matches the sequential chain's lostframes2
     carry, frames, _ = pl.decode_block(
         lanes, jnp.int32(win), carry,
         frame_slots=frame_slots, exact_fir=True, fast_dpll=fast_dpll,
-        fused_pipeline=fused_pipeline, block_base=0)
+        fused_pipeline=fused_pipeline, block_base=0,
+        lost2_lo=jnp.int32(overlap),
+        lost2_hi=jnp.int32(overlap + chunk_len))
+    wrong_size = int(np.asarray(frames.lost2).sum())
+
+    def finish(ok_items, bad_starts):
+        """ok_items: (abs_start, abs_end, Frame); bad_starts: absolute
+        starts of owned CRC-failed frames.  Dedup the bad list by
+        proximity (boundary-jitter duplicates, see sharded.OWN_MARGIN)."""
+        ok_items.sort(key=lambda p: p[0])
+        bad_starts.sort()
+        n_bad = 0
+        last = -(10 ** 9)
+        from gnuais_tpu.parallel.sharded import OWN_MARGIN
+        for st in bad_starts:
+            if st <= last + 2 * OWN_MARGIN:
+                continue
+            n_bad += 1
+            last = st
+        return TimeParallelResult(
+            frames=[f for _, _, f in ok_items],
+            starts=[s for s, _, _ in ok_items],
+            ends=[e for _, e, _ in ok_items],
+            chunks=k, wrong_crc=n_bad, wrong_size=wrong_size,
+        )
 
     if dense_cap is not None:
         dense = demod.dense_frames(frames, dense_cap)
         if int(dense.over) == 0:
             per = pl.extract_dense(dense, k)
-            out2: List[Tuple[int, Frame]] = []
+            out2: List[Tuple[int, int, Frame]] = []
+            bad2: List[int] = []
             for i, lst in enumerate(per):
                 own_lo = overlap if i > 0 else 0
                 own_hi = overlap + chunk_len
                 base = i * chunk_len - overlap
-                for st, fr in lst:
-                    if fr.crc_ok and own_lo <= st < own_hi:
-                        out2.append((base + st, fr))
-            out2.sort(key=lambda p: p[0])
-            return TimeParallelResult(
-                frames=[f for _, f in out2],
-                starts=[s for s, _ in out2],
-                chunks=k,
-            )
+                for st, en, fr in lst:
+                    if not (own_lo <= st < own_hi):
+                        continue
+                    if fr.crc_ok:
+                        out2.append((base + st, base + en, fr))
+                    else:
+                        bad2.append(base + st)
+            return finish(out2, bad2)
         # fall through: overflow — use the full slot drain
 
     # drain + own-region filter
     start = np.asarray(frames.start)
+    end = np.asarray(frames.end)
     from gnuais_tpu import native
     use_native = native.available()
     per_stream = pl.extract_frames(frames) if use_native else None
 
-    out: List[Tuple[int, Frame]] = []
+    out: List[Tuple[int, int, Frame]] = []
+    bad: List[int] = []
     words = length = count = None
     if not use_native:
         words = np.asarray(frames.words)
@@ -190,6 +224,7 @@ def time_parallel_decode(stream: np.ndarray, chunk_len: int = 65_536,
             if use_native:
                 frame = per_stream[i][f]
                 if not frame.crc_ok:
+                    bad.append(base + st)
                     continue
             else:
                 # Python drain: filter first, bit-unpack only the
@@ -199,16 +234,12 @@ def time_parallel_decode(stream: np.ndarray, chunk_len: int = 65_536,
                 from gnuais_tpu.golden.model import crc_check_and_extract
                 ok, payload = crc_check_and_extract(raw, flen)
                 if not ok:
+                    bad.append(base + st)
                     continue
                 frame = Frame(payload, flen, True)
-            out.append((base + st, frame))
+            out.append((base + st, base + int(end[i, f]), frame))
 
-    out.sort(key=lambda p: p[0])
-    return TimeParallelResult(
-        frames=[f for _, f in out],
-        starts=[s for s, _ in out],
-        chunks=k,
-    )
+    return finish(out, bad)
 
 
 class TimeParSession:
@@ -243,18 +274,32 @@ class TimeParSession:
         self._prev_tail = np.zeros((n_streams, overlap), np.int16)
         self._base = 0
         self._last_starts: Optional[List[int]] = None
+        self._last_bad: Optional[List[int]] = None
+        # reference per-channel accounting (ais.c:296-310): index =
+        # stream row; wrong_crc/wrong_size deduped/gated exactly as the
+        # sequential chain counts them
+        self.received = [0] * n_streams
+        self.wrong_crc = [0] * n_streams
+        self.wrong_size = [0] * n_streams
 
     def _run(self, block: np.ndarray, base: int, next_head: np.ndarray,
              valid_end: int):
         tp = self.step(jnp.asarray(block), jnp.int32(valid_end),
                        jnp.int32(base), jnp.asarray(self._prev_tail),
                        jnp.asarray(next_head))
-        per_stream = self._sh.drain_timepar_frames(
-            tp, self.frame_slots, prev_starts=self._last_starts)
+        per_stream, bad_counts, bad_last = self._sh.drain_timepar_frames(
+            tp, self.frame_slots, prev_starts=self._last_starts,
+            with_stats=True, prev_bad_starts=self._last_bad)
         self._last_starts = [
             (lst[-1][0] if lst else
              (self._last_starts[i] if self._last_starts else -10 ** 9))
             for i, lst in enumerate(per_stream)]
+        self._last_bad = bad_last
+        lost2 = np.asarray(tp.lost2).sum(axis=1)
+        for i, lst in enumerate(per_stream):
+            self.received[i] += len(lst)
+            self.wrong_crc[i] += bad_counts[i]
+            self.wrong_size[i] += int(lost2[i])
         self._prev_tail = np.asarray(block[:, -self.overlap:])
         return per_stream
 

@@ -54,7 +54,9 @@ def decode_block(samples: jax.Array, n_valid: jax.Array,
                  fused_frontend: bool = False,
                  fused_pipeline: bool = False,
                  device_crc: bool = False,
-                 mxu_fir: bool = False
+                 mxu_fir: bool = False,
+                 lost2_lo: jax.Array | None = None,
+                 lost2_hi: jax.Array | None = None
                  ) -> Tuple[PipelineCarry, demod.FrameBatch, jax.Array]:
     """samples: int16 [S, T]; n_valid: scalar int32 (samples actually
     present — short final blocks are padded to T).  Returns
@@ -82,14 +84,15 @@ def decode_block(samples: jax.Array, n_valid: jax.Array,
         # order (MXU f32 is multi-pass bf16) — gate with parity on the
         # target capture (tests do; slicer signs flip only when
         # |filtered| is within rounding noise).
-        (cand_valid, cw, cl, cs, lost2, over,
+        (cand_valid, cw, cl, cs, ce, lost2, over,
          history, dpll_state, hdlc_state) = pipeline_fused(
             samples, n_valid, carry.history, carry.dpll, carry.hdlc,
             block_base=block_base,
-            fir_mode="mxu" if mxu_fir else "vpu")
+            fir_mode="mxu" if mxu_fir else "vpu",
+            lost2_lo=lost2_lo, lost2_hi=lost2_hi)
         frames = demod.compact_candidates(
             demod.init_frames(samples.shape[0], frame_slots),
-            cand_valid, cw, cl, cs, lost2=lost2, over=over)
+            cand_valid, cw, cl, cs, ce, lost2=lost2, over=over)
         if device_crc:
             # compact first (candidate slots are ~12x the frame slots),
             # then the gather-free linear CRC, then keep only passers
@@ -104,7 +107,7 @@ def decode_block(samples: jax.Array, n_valid: jax.Array,
                               axis=1).astype(jnp.int32)
             kept = demod.compact_candidates(
                 demod.init_frames(s, frame_slots), present & ok,
-                frames.words, frames.length, frames.start,
+                frames.words, frames.length, frames.start, frames.end,
                 lost2=frames.lost2, over=frames.dropped)
             frames = kept._replace(crcfail=crcfail)
         peak = fir.block_peak(samples)
@@ -135,7 +138,9 @@ def decode_block(samples: jax.Array, n_valid: jax.Array,
             bit_valid, bits, block_base)
     frames0 = demod.init_frames(samples.shape[0], frame_slots)
     hdlc_state, frames = demod.hdlc_scan(bitrows, slot_valid,
-                                         carry.hdlc, frames0, pos_rows)
+                                         carry.hdlc, frames0, pos_rows,
+                                         lost2_lo=lost2_lo,
+                                         lost2_hi=lost2_hi)
     peak = fir.block_peak(samples)
     return PipelineCarry(history, dpll_state, hdlc_state), frames, peak
 
@@ -230,10 +235,12 @@ def extract_frames(frames: demod.FrameBatch) -> List[List[Frame]]:
     return out
 
 
-def extract_dense(dense, n_streams: int) -> List[List[Tuple[int, Frame]]]:
+def extract_dense(dense, n_streams: int
+                  ) -> List[List[Tuple[int, int, Frame]]]:
     """Host drain of a demod.DenseFrames: per-stream lists of
-    (absolute_start, Frame) in arrival order.  Transfers exactly
-    ``total`` frames' worth of data (plus the fixed [cap] buffers).
+    (absolute_start, absolute_end, Frame) in arrival order.  Transfers
+    exactly ``total`` frames' worth of data (plus the fixed [cap]
+    buffers).
 
     Reuses the native C++ drain by treating each dense row as a 1-slot
     pseudo-stream."""
@@ -241,8 +248,9 @@ def extract_dense(dense, n_streams: int) -> List[List[Tuple[int, Frame]]]:
     words = np.asarray(dense.words[:max(total, 1)])
     length = np.asarray(dense.length[:max(total, 1)])
     start = np.asarray(dense.start[:max(total, 1)])
+    end = np.asarray(dense.end[:max(total, 1)])
     stream = np.asarray(dense.stream[:max(total, 1)])
-    out: List[List[Tuple[int, Frame]]] = [[] for _ in range(n_streams)]
+    out: List[List[Tuple[int, int, Frame]]] = [[] for _ in range(n_streams)]
     if total == 0:
         return out
     from gnuais_tpu import native
@@ -251,14 +259,14 @@ def extract_dense(dense, n_streams: int) -> List[List[Tuple[int, Frame]]]:
         for row, payload, flen, ok in native.drain_frames(
                 words[:total, None, :], length[:total, None], counts):
             out[int(stream[row])].append(
-                (int(start[row]), Frame(payload, flen, ok)))
+                (int(start[row]), int(end[row]), Frame(payload, flen, ok)))
     else:
         for j in range(total):
             flen = int(length[j])
             raw = _reg_to_bits(words[j], flen + C.FRAME_TAIL_BITS)
             ok, payload = crc_check_and_extract(raw, flen)
             out[int(stream[j])].append(
-                (int(start[j]), Frame(payload, flen, ok)))
+                (int(start[j]), int(end[j]), Frame(payload, flen, ok)))
     return out
 
 

@@ -32,11 +32,13 @@ def _frames_equal(fa, fb):
     wa, wb = np.asarray(fa.words), np.asarray(fb.words)
     la, lb = np.asarray(fa.length), np.asarray(fb.length)
     sa, sb = np.asarray(fa.start), np.asarray(fb.start)
+    ea, eb = np.asarray(fa.end), np.asarray(fb.end)
     for s in range(ca.shape[0]):
         k = ca[s]
         assert np.array_equal(wa[s, :k], wb[s, :k])
         assert np.array_equal(la[s, :k], lb[s, :k])
         assert np.array_equal(sa[s, :k], sb[s, :k])
+        assert np.array_equal(ea[s, :k], eb[s, :k])
 
 
 def _carry_equal(a, b):

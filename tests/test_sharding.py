@@ -115,7 +115,7 @@ def test_multichip_timepar_long_stream_parity():
     per_stream = drain_timepar_frames(tp, 16)
     for lst in per_stream:
         assert len(lst) == len(want), (len(lst), len(want))
-        for (st_a, fa), (st_b, fb) in zip(lst, want):
+        for (st_a, _en, fa), (st_b, fb) in zip(lst, want):
             # a resynced DPLL may emit a sample or two off the
             # continuous chain's phase; payloads must be exact
             assert abs(st_a - st_b) <= 4, (st_a, st_b)
@@ -175,7 +175,7 @@ def test_multichip_timepar_superblock_chain():
         prev = [got[-1][0]] if got else None
         got += drain_timepar_frames(tp, 16, prev_starts=prev)[0]
     assert len(got) == len(want), (len(got), len(want))
-    for (st_a, fa), (st_b, fb) in zip(got, want):
+    for (st_a, _en, fa), (st_b, fb) in zip(got, want):
         assert abs(st_a - st_b) <= 4, (st_a, st_b)
         assert np.array_equal(fa.payload_bits[:fa.bufferlen],
                               fb.payload_bits[:fb.bufferlen])
@@ -211,7 +211,7 @@ def test_timepar_session_streaming_chain():
             got += r[0]
     got += sess.flush()[0]
     assert len(got) == len(want), (len(got), len(want))
-    for (st_a, fa), (st_b, fb) in zip(got, want):
+    for (st_a, _en, fa), (st_b, fb) in zip(got, want):
         assert abs(st_a - st_b) <= 4
         assert np.array_equal(fa.payload_bits[:fa.bufferlen],
                               fb.payload_bits[:fb.bufferlen])

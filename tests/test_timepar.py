@@ -88,10 +88,14 @@ def test_dense_frames_matches_slot_drain():
     dense = demod.dense_frames(frames, cap=64)
     assert int(dense.total) == 5 * s and int(dense.over) == 0
     got = pl.extract_dense(dense, s)
+    ends = np.asarray(frames.end)
     for i in range(s):
         assert len(got[i]) == len(want[i])
-        for j, ((st, fr), wf) in enumerate(zip(got[i], want[i])):
+        for j, ((st, en, fr), wf) in enumerate(zip(got[i], want[i])):
             assert st == int(starts[i, j])
+            assert en == int(ends[i, j])
+            # the stop flag lands a frame-length after the data start
+            assert en > st
             assert fr.crc_ok == wf.crc_ok
             assert np.array_equal(fr.payload_bits[:fr.bufferlen],
                                   wf.payload_bits[:wf.bufferlen])

@@ -1,0 +1,122 @@
+"""Time-parallel CLI paths vs the sequential session: stereo support,
+reference emission ordering, and the full accounting counters
+(received / wrong CRC / wrong size, ais.c:296-310)."""
+
+import os
+import re
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from gnuais_tpu.golden import encoder as E
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _stereo_capture(tmp_path, rng, n_a=6, n_b=6):
+    """Stereo capture whose A/B frames interleave nontrivially: B is
+    shifted so some B frames start after but STOP before concurrent A
+    frames — the case that distinguishes stop-position emission
+    ordering from start-position ordering."""
+    pay_a = [E.random_payload(rng) for _ in range(n_a)]
+    pay_b = [E.random_payload(rng) for _ in range(n_b)]
+    a = E.synthesize_capture(pay_a, gap_bits=700, lead_in_bits=64)
+    b = E.synthesize_capture(pay_b, gap_bits=640, lead_in_bits=900)
+    n = max(len(a), len(b))
+    a = np.pad(a, (0, n - len(a)))
+    b = np.pad(b, (0, n - len(b)))
+    noise_a = rng.normal(0, 200, n)
+    noise_b = rng.normal(0, 200, n)
+    a = np.clip(a + noise_a, -32768, 32767).astype(np.int16)
+    b = np.clip(b + noise_b, -32768, 32767).astype(np.int16)
+    cap = tmp_path / "stereo.raw"
+    E.interleave_stereo(a, b).tofile(cap)
+    return cap
+
+
+def _run_cli(conf_lines, tmp_path, name):
+    conf = tmp_path / name
+    conf.write_text(conf_lines)
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XDG_CONFIG_HOME=str(tmp_path))
+    flags = env.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (flags +
+                            " --xla_force_host_platform_device_count=8")
+    r = subprocess.run(
+        [sys.executable, "-m", "gnuais_tpu.cli", "-c", str(conf)],
+        capture_output=True, text=True, timeout=600, env=env, cwd=REPO)
+    assert r.returncode == 0, r.stderr[-800:]
+    return r
+
+
+def _counters(stderr):
+    out = {}
+    for m in re.finditer(
+            r"(\w): Received correctly: (\d+) packets, wrong CRC: (\d+) "
+            r"packets, wrong size: (\d+) packets", stderr):
+        out[m.group(1)] = tuple(int(m.group(i)) for i in (2, 3, 4))
+    return out
+
+
+def test_stereo_lanes_stdout_and_counters_match_sequential(tmp_path):
+    """`streams N` + soundchannels both: stdout byte-identical to the
+    sequential session (A/B interleaving included) and the three
+    counters equal per channel."""
+    rng = np.random.default_rng(41)
+    cap = _stereo_capture(tmp_path, rng)
+
+    seq = _run_cli(f"soundchannels both\nsoundinfile {cap}\n",
+                   tmp_path, "seq.conf")
+    par = _run_cli(f"soundchannels both\nstreams 4\nsoundinfile {cap}\n",
+                   tmp_path, "par.conf")
+    assert seq.stdout.splitlines(), "fixture decoded nothing"
+    assert par.stdout.splitlines() == seq.stdout.splitlines()
+    assert _counters(par.stderr) == _counters(seq.stderr)
+
+
+def test_stereo_mesh_streaming_stdout_and_counters(tmp_path):
+    """`meshshape 2 4` + both: stereo rows ride the streams mesh axis,
+    super-blocks stream through TimeParSession (three pushes here), and
+    stdout + counters match the sequential session."""
+    rng = np.random.default_rng(43)
+    cap = _stereo_capture(tmp_path, rng, n_a=8, n_b=8)
+
+    seq = _run_cli(f"soundchannels both\nsoundinfile {cap}\n",
+                   tmp_path, "seq.conf")
+    par = _run_cli(
+        f"soundchannels both\nmeshshape 2 4\ntimeparblock 6144\n"
+        f"soundinfile {cap}\n", tmp_path, "mesh.conf")
+    assert "Mesh decode: 2x4 devices" in par.stderr
+    assert seq.stdout.splitlines(), "fixture decoded nothing"
+    assert par.stdout.splitlines() == seq.stdout.splitlines()
+    assert _counters(par.stderr) == _counters(seq.stderr)
+
+
+def test_mono_mesh_wrong_crc_and_size_counters(tmp_path):
+    """Inject a mid-frame bit-cell inversion (wrong CRC on both sides)
+    and check the mesh path's counters equal the sequential session's —
+    including the position-gated wrong-size count."""
+    rng = np.random.default_rng(47)
+    payloads = [E.random_payload(rng) for _ in range(10)]
+    audio = E.synthesize_capture(payloads, gap_bits=600)
+    audio = audio.copy()
+    # invert one 5-sample bit cell inside the fourth frame
+    cell = 3 * (len(audio) // len(payloads)) + 800
+    audio[cell:cell + 5] = -audio[cell:cell + 5]
+    noisy = np.clip(audio + rng.normal(0, 200, len(audio)),
+                    -32768, 32767).astype(np.int16)
+    cap = tmp_path / "mono.raw"
+    noisy.tofile(cap)
+
+    seq = _run_cli(f"soundchannels mono\nsoundinfile {cap}\n",
+                   tmp_path, "seq.conf")
+    par = _run_cli(
+        f"soundchannels mono\nmeshshape 1 8\ntimeparblock 6144\n"
+        f"soundinfile {cap}\n", tmp_path, "mesh.conf")
+    cs, cp = _counters(seq.stderr), _counters(par.stderr)
+    assert cs["A"][1] >= 1, cs        # the injected wrong-CRC frame
+    assert cp == cs, (cp, cs)
+    assert par.stdout.splitlines() == seq.stdout.splitlines()

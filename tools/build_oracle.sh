@@ -89,4 +89,149 @@ gcc -O2 -w -I"$OUT" -I"$OUT/build" -I"$REF/src" \
     -o "$OUT/build/range_harness" "$OUT/build/range_harness.c" \
     "$REF/src/range.c" -lm
 
+# ---------------------------------------------------------------------
+# Uplink harness: the REAL out_json.c + cache.c + the system's real
+# libcurl, so the JSON-AIS blob AND the multipart POST the reference
+# performs can be byte-captured by a test HTTP server.  The libcurl
+# runtime (.so.4) exists here but the development headers do not, so a
+# minimal ABI-matching declaration header stands in (constants are the
+# stable public values from curl/curl.h).  jsonout_export is static in
+# out_json.c, hence the #include-the-.c harness TU.
+mkdir -p "$OUT/curl"
+cat > "$OUT/curl/curl.h" <<'EOF'
+#ifndef STUB_CURL_CURL_H
+#define STUB_CURL_CURL_H
+#include <stddef.h>
+typedef void CURL;
+typedef int CURLcode;
+#define CURLE_OK 0
+typedef enum {
+  CURLOPT_URL = 10002,
+  CURLOPT_VERBOSE = 41,
+  CURLOPT_NOPROGRESS = 43,
+  CURLOPT_WRITEFUNCTION = 20011,
+  CURLOPT_HTTPHEADER = 10023,
+  CURLOPT_HTTPPOST = 10024
+} CURLoption;
+typedef enum { CURLINFO_RESPONSE_CODE = 0x200002 } CURLINFO;
+typedef enum {
+  CURLFORM_NOTHING = 0,
+  CURLFORM_COPYNAME = 1,
+  CURLFORM_PTRCONTENTS = 5,
+  CURLFORM_CONTENTTYPE = 14,
+  CURLFORM_END = 17
+} CURLformoption;
+typedef int CURLFORMcode;
+struct curl_httppost;
+struct curl_slist;
+#define CURL_GLOBAL_SSL (1<<0)
+#define CURL_GLOBAL_WIN32 (1<<1)
+#define CURL_GLOBAL_ALL (CURL_GLOBAL_SSL|CURL_GLOBAL_WIN32)
+CURLcode curl_global_init(long flags);
+void curl_global_cleanup(void);
+CURL *curl_easy_init(void);
+CURLcode curl_easy_setopt(CURL *handle, CURLoption option, ...);
+CURLcode curl_easy_perform(CURL *handle);
+CURLcode curl_easy_getinfo(CURL *handle, CURLINFO info, ...);
+void curl_easy_cleanup(CURL *handle);
+const char *curl_easy_strerror(CURLcode);
+struct curl_slist *curl_slist_append(struct curl_slist *, const char *);
+void curl_slist_free_all(struct curl_slist *);
+CURLFORMcode curl_formadd(struct curl_httppost **httppost,
+                          struct curl_httppost **last_post, ...);
+void curl_formfree(struct curl_httppost *form);
+#endif
+EOF
+
+cat > "$OUT/build/uplink_harness.c" <<'EOF'
+/* Oracle harness around the reference JSON-AIS exporter: feeds the
+ * REAL cache.c setters from tab-separated stdin commands, then runs
+ * ONE jsonout_export() through the real libcurl POST path.
+ *   uplink_harness <url> [mycall] < commands.tsv
+ * Commands (tab-separated):
+ *   pos t mmsi navstat lat lon hdg course rot sog
+ *   data t mmsi imo callsign name dest shiptype A B C D draught
+ *   datab t mmsi callsign shiptype A B C D
+ *   databb t mmsi shiptype A B C D
+ *   name t mmsi name dest
+ *   persons t mmsi n
+ */
+#include <stdio.h>
+#include <stdlib.h>
+#include <string.h>
+#include "cfg.h"
+
+char *mycall;
+struct uplink_config_t *uplink_config;
+
+#include "out_json.c"
+
+int main(int argc, char **argv)
+{
+    static struct uplink_config_t up;
+    char line[4096];
+
+    if (argc < 2) { fprintf(stderr, "usage: uplink_harness <url>\n"); return 2; }
+    mycall = (argc > 2) ? argv[2] : "TESTCALL";
+    up.proto = UPLINK_JSON;
+    up.name = "test";
+    up.url = argv[1];
+    up.next = NULL;
+    uplink_config = &up;
+
+    cache_init();
+    curl_global_init(CURL_GLOBAL_ALL);
+
+    while (fgets(line, sizeof line, stdin)) {
+        char *f[16];
+        int n = 0;
+        char *p = line;
+        char *nl = strchr(line, '\n');
+        if (nl) *nl = 0;
+        /* strsep keeps EMPTY fields (a trailing empty destination must
+         * reach cache_vesselname as "", not vanish like strtok would) */
+        char *tok;
+        while ((tok = strsep(&p, "\t")) != NULL && n < 16)
+            f[n++] = tok;
+        if (!n || !f[0][0]) continue;
+        if (!strcmp(f[0], "pos") && n >= 10)
+            cache_position(atoi(f[1]), atoi(f[2]), atoi(f[3]), atof(f[4]),
+                           atof(f[5]), atoi(f[6]), atof(f[7]), atoi(f[8]),
+                           atof(f[9]));
+        else if (!strcmp(f[0], "data") && n >= 13)
+            cache_vesseldata(atoi(f[1]), atoi(f[2]), atoi(f[3]), f[4], f[5],
+                             f[6], atoi(f[7]), atoi(f[8]), atoi(f[9]),
+                             atoi(f[10]), atoi(f[11]), atof(f[12]));
+        else if (!strcmp(f[0], "datab") && n >= 9)
+            cache_vesseldatab(atoi(f[1]), atoi(f[2]), f[3], atoi(f[4]),
+                              atoi(f[5]), atoi(f[6]), atoi(f[7]), atoi(f[8]));
+        else if (!strcmp(f[0], "databb") && n >= 8)
+            cache_vesseldatabb(atoi(f[1]), atoi(f[2]), atoi(f[3]), atoi(f[4]),
+                               atoi(f[5]), atoi(f[6]), atoi(f[7]));
+        else if (!strcmp(f[0], "name") && n >= 5)
+            cache_vesselname(atoi(f[1]), atoi(f[2]), f[3], f[4]);
+        else if (!strcmp(f[0], "persons") && n >= 4)
+            cache_vessel_persons(atoi(f[1]), atoi(f[2]), atoi(f[3]));
+        else { fprintf(stderr, "bad command: %s\n", f[0]); return 2; }
+    }
+
+    jsonout_export();
+    curl_global_cleanup();
+    return 0;
+}
+EOF
+# awk reads all of ldconfig's output (an early exit would SIGPIPE it
+# under pipefail)
+CURL_RUNTIME="$(ldconfig -p 2>/dev/null | awk '/libcurl\.so/{if (!v) v=$NF} END{print v}')"
+if [ -n "$CURL_RUNTIME" ]; then
+    gcc -O2 -w -fcommon -DHAVE_CURL=1 -I"$OUT" -I"$OUT/build" -I"$REF/src" \
+        -o "$OUT/build/uplink_harness" "$OUT/build/uplink_harness.c" \
+        "$REF/src/cache.c" "$REF/src/splay.c" "$REF/src/spsymbol.c" \
+        "$REF/src/crc32.c" "$REF/src/hmalloc.c" "$REF/src/hlog.c" \
+        "$REF/src/rwlock.c" "$CURL_RUNTIME" -lpthread -lm
+    echo "uplink harness built against $CURL_RUNTIME"
+else
+    echo "libcurl runtime not found; uplink harness skipped"
+fi
+
 echo "oracle built: $OUT/build/gnuais_oracle (+range_harness)"
