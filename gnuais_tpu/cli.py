@@ -527,9 +527,16 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--monitor", action="store_true",
                    help="run the live ship monitor (NMEA socket consumer)")
     p.add_argument("--map", action="store_true",
-                   help="with --monitor: serve the OSM web map view")
+                   help="with --monitor: serve the self-contained web "
+                        "map view (local tile cache; works offline)")
     p.add_argument("--port", type=int, default=8787,
                    help="web map HTTP port")
+    p.add_argument("--tile-dir", default=None,
+                   help="map tile cache directory (z/x/y.png layout; "
+                        "default ~/.cache/gnuais-tpu/tiles)")
+    p.add_argument("--tile-fetch", action="store_true",
+                   help="fetch missing map tiles from the OSM tile "
+                        "service into the cache (needs network)")
     p.add_argument("--checkpoint", metavar="PATH",
                    help="checkpoint decoder state (per channel) for "
                         "exact crash recovery / resume")
@@ -560,7 +567,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     if args.monitor:
         if args.map:
             from gnuais_tpu.monitor.webmap import monitor_socket_with_map
-            monitor_socket_with_map(port=args.port)
+            monitor_socket_with_map(port=args.port,
+                                    tile_dir=args.tile_dir,
+                                    tile_fetch=args.tile_fetch)
         else:
             from gnuais_tpu.monitor.ships import monitor_socket
             monitor_socket()

@@ -485,10 +485,15 @@ def compact_candidates(frames: FrameBatch, cand_valid: jax.Array,
     instead: hit[s, k, j] = (candidate k lands in slot j), and every
     payload rides ``einsum('skj,skd->sjd')`` onto the MXU.  Exactness:
     at most one candidate hits a slot (destinations are strictly
-    increasing), every field is split into <= 8-BIT pieces (exact in
-    bf16, so even a single-pass MXU lowering is lossless — 16-bit
-    pieces were observed corrupted by the default bf16 pass on real
-    TPUs), and HIGHEST precision is requested besides."""
+    increasing), so every output element is a SINGLE product of two
+    <= 8-bit-exact values — bf16 represents both operands and the
+    product exactly and no accumulation ever rounds.  The features are
+    therefore built directly in bf16 and the einsum runs at DEFAULT
+    precision (one MXU pass): 16-bit pieces WERE corrupted by that
+    lowering on real TPUs (hence the 8-bit split), and the previous
+    f32/HIGHEST formulation cost ~3.7 ms/block at S=1024 — over half
+    the decode step — in 6x MXU passes over a 110 MB f32 feature
+    tensor."""
     s, k = cand_valid.shape
     frame_slots = frames.words.shape[1]
     w = cw.shape[-1]
@@ -499,24 +504,23 @@ def compact_candidates(frames: FrameBatch, cand_valid: jax.Array,
 
     slots = jnp.arange(frame_slots, dtype=jnp.int32)
     hit = keep[:, :, None] & (dst[:, :, None] == slots[None, None, :])
-    hitf = hit.astype(jnp.float32)                       # [S, K, F]
+    hitf = hit.astype(jnp.bfloat16)                      # [S, K, F]
     found = jnp.any(hit, axis=1)                         # [S, F]
 
     # 8-bit-split features: words as 4 bytes each, length lo/hi,
     # start + end as 4 bytes each -> [S, K, 4W + 10]
     def bytes_of(v32, n):
         u = v32.astype(jnp.uint32)
-        return [((u >> (8 * i)) & 0xFF).astype(jnp.float32)
+        return [((u >> (8 * i)) & 0xFF).astype(jnp.bfloat16)
                 for i in range(n)]
 
     feats = jnp.concatenate(
-        [((cw >> (8 * i)) & 0xFF).astype(jnp.float32) for i in range(4)]
+        [((cw >> (8 * i)) & 0xFF).astype(jnp.bfloat16) for i in range(4)]
         + [p[:, :, None] for p in bytes_of(cl, 2)]
         + [p[:, :, None] for p in bytes_of(cs, 4)]
         + [p[:, :, None] for p in bytes_of(ce, 4)], axis=2)
     out = jnp.einsum("skj,skd->sjd", hitf, feats,
-                     preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)  # [S, F, 4W+10]
+                     preferred_element_type=jnp.float32)  # [S, F, 4W+10]
 
     def unbytes(parts):
         acc = parts[0].astype(jnp.uint32)

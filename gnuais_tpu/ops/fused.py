@@ -37,6 +37,26 @@ TILE_STREAMS = LANES * SUBLANES     # 1024 streams per kernel call
 # the kernel so Mosaic broadcasts them (values are already f32-rounded).
 _TAPS_F32 = [float(v) for v in np.asarray(C.FIR_TAPS, dtype=np.float32)]
 
+# Main-lobe support for the op-diet FIR (fir_mode="lobe"): the Gaussian
+# taps fall off by ~1e5 per index; outside [LOBE_LO, LOBE_HI] they are
+# < 1.3e-13, so with int16 inputs (|x| <= 32768) their total possible
+# contribution (< 1e-8) is orders of magnitude below the smallest
+# nonzero magnitude an f32 cancellation of main-lobe terms can produce
+# (~ulp(1e3) ~ 6e-5) — the SIGN the slicer consumes is unchanged for
+# every input that excites any main-lobe tap.  The exception is inputs
+# whose window is nonzero ONLY at skipped-tap positions (e.g. the first
+# samples of a signal onset after digital silence), where the exact
+# chain sees a +-1e-43-magnitude sign wiggle and this path sees exact
+# zero — a sub-noise difference gated by packet-parity tests, like
+# fir_mode="mxu".
+LOBE_LO, LOBE_HI = 10, 25
+assert all(abs(t) < 1.3e-13 for i, t in enumerate(_TAPS_F32)
+           if not (LOBE_LO <= i <= LOBE_HI))
+# taps are symmetric (t[i] == t[35-i], verified against receiver.c):
+# pair the mirrored samples first, halving the multiplies
+assert all(_TAPS_F32[i] == _TAPS_F32[C.FIR_LEN - 1 - i]
+           for i in range(C.FIR_LEN))
+
 
 def _dpll_kernel(nvalid_ref, x_ref, pll_in, prev_in, last_in,
                  bits_ref, pll_out, prev_out, last_out, state,
@@ -644,6 +664,14 @@ def _pipeline_kernel(scal_ref, x_ref, pll_in, prev_in, last_in, hist_in,
         for k in range(unroll):
             if with_fir and fir_mode == "mxu":
                 f = fs[k]
+            elif with_fir and fir_mode == "lobe":
+                # main-lobe symmetric-pair FIR: 8 muls + 15 adds
+                # instead of 36 muls + 35 adds (see LOBE_LO note)
+                f = None
+                for i in range(LOBE_LO, (LOBE_LO + LOBE_HI + 1) // 2):
+                    pair = win[k + i] + win[k + C.FIR_LEN - 1 - i]
+                    term = pair * _TAPS_F32[i]
+                    f = term if f is None else f + term
             elif with_fir:
                 f = win[k] * _TAPS_F32[0]
                 for i in range(1, C.FIR_LEN):

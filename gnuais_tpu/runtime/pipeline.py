@@ -46,7 +46,7 @@ def init_dpll(n_streams: int):
 @functools.partial(jax.jit,
                    static_argnames=("frame_slots", "exact_fir", "fast_dpll",
                                     "fused_frontend", "fused_pipeline",
-                                    "device_crc", "mxu_fir"))
+                                    "device_crc", "mxu_fir", "lobe_fir"))
 def decode_block(samples: jax.Array, n_valid: jax.Array,
                  carry: PipelineCarry, frame_slots: int = 32,
                  exact_fir: bool = True, fast_dpll: bool = False,
@@ -55,6 +55,7 @@ def decode_block(samples: jax.Array, n_valid: jax.Array,
                  fused_pipeline: bool = False,
                  device_crc: bool = False,
                  mxu_fir: bool = False,
+                 lobe_fir: bool = False,
                  lost2_lo: jax.Array | None = None,
                  lost2_hi: jax.Array | None = None
                  ) -> Tuple[PipelineCarry, demod.FrameBatch, jax.Array]:
@@ -88,7 +89,8 @@ def decode_block(samples: jax.Array, n_valid: jax.Array,
          history, dpll_state, hdlc_state) = pipeline_fused(
             samples, n_valid, carry.history, carry.dpll, carry.hdlc,
             block_base=block_base,
-            fir_mode="mxu" if mxu_fir else "vpu",
+            fir_mode=("mxu" if mxu_fir else
+                      "lobe" if lobe_fir else "vpu"),
             lost2_lo=lost2_lo, lost2_hi=lost2_hi)
         frames = demod.compact_candidates(
             demod.init_frames(samples.shape[0], frame_slots),
@@ -149,7 +151,7 @@ def decode_block(samples: jax.Array, n_valid: jax.Array,
                    static_argnames=("n_blocks", "frame_slots", "exact_fir",
                                     "fast_dpll", "fused_frontend",
                                     "fused_pipeline", "device_crc",
-                                    "mxu_fir"))
+                                    "mxu_fir", "lobe_fir"))
 def decode_superblock(samples: jax.Array, n_valid: jax.Array,
                       carry: PipelineCarry, n_blocks: int,
                       frame_slots: int = 32,
@@ -284,13 +286,15 @@ class BatchPipeline:
                  frame_slots: int = 32, exact_fir: bool = True,
                  fast_dpll: bool = False, fused_frontend: bool = False,
                  fused_pipeline: bool = False, device_crc: bool = False,
-                 mxu_fir: bool = False):
+                 mxu_fir: bool = False, lobe_fir: bool = False):
         if fast_dpll or fused_frontend or fused_pipeline:
             assert block_len % 512 == 0, "fast path: block_len % 512 == 0"
         assert not (device_crc and not fused_pipeline), \
             "device_crc requires fused_pipeline"
         assert not (mxu_fir and not fused_pipeline), \
             "mxu_fir requires fused_pipeline"
+        assert not (lobe_fir and not fused_pipeline), \
+            "lobe_fir requires fused_pipeline"
         self.n_streams = n_streams
         self.block_len = block_len
         self.frame_slots = frame_slots
@@ -300,6 +304,7 @@ class BatchPipeline:
         self.fused_pipeline = fused_pipeline
         self.device_crc = device_crc
         self.mxu_fir = mxu_fir
+        self.lobe_fir = lobe_fir
         self.carry = init_carry(n_streams)
         self.counters = [StreamCounters() for _ in range(n_streams)]
 
@@ -315,7 +320,7 @@ class BatchPipeline:
             frame_slots=self.frame_slots, exact_fir=self.exact_fir,
             fast_dpll=self.fast_dpll, fused_frontend=self.fused_frontend,
             fused_pipeline=self.fused_pipeline, device_crc=self.device_crc,
-            mxu_fir=self.mxu_fir)
+            mxu_fir=self.mxu_fir, lobe_fir=self.lobe_fir)
         per_stream = extract_frames(frames)
         return self._account(per_stream, frames)
 
@@ -336,7 +341,7 @@ class BatchPipeline:
             frame_slots=self.frame_slots, exact_fir=self.exact_fir,
             fast_dpll=self.fast_dpll, fused_frontend=self.fused_frontend,
             fused_pipeline=self.fused_pipeline, device_crc=self.device_crc,
-            mxu_fir=self.mxu_fir)
+            mxu_fir=self.mxu_fir, lobe_fir=self.lobe_fir)
         host = jax.tree.map(np.asarray, frames_k)      # one transfer
         merged: List[List[Frame]] = [[] for _ in range(s)]
         for b in range(k):

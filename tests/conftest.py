@@ -18,7 +18,12 @@ import jax
 
 # The axon TPU plugin ignores the JAX_PLATFORMS env var; the config key
 # is honored.  Must run before any computation.
-jax.config.update("jax_platforms", "cpu")
+#
+# GNUAIS_TEST_TPU=1 selects the on-silicon tier (`pytest -m tpu`): the
+# real TPU stays the default backend and the kernels run compiled, NOT
+# interpreted; CPU devices remain available for exact-chain references.
+if not os.environ.get("GNUAIS_TEST_TPU"):
+    jax.config.update("jax_platforms", "cpu")
 
 import pytest
 

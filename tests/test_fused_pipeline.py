@@ -2,6 +2,7 @@
 (interpreter on CPU; the same code path runs compiled on TPU)."""
 
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -49,6 +50,7 @@ def _carry_equal(a, b):
         assert np.array_equal(np.asarray(x), np.asarray(y))
 
 
+@pytest.mark.slow
 def test_fused_pipeline_matches_exact_bitexact():
     s, t = 8, 2048
     x = _noisy_batch(s, t)
@@ -62,6 +64,7 @@ def test_fused_pipeline_matches_exact_bitexact():
     assert np.array_equal(np.asarray(p1), np.asarray(p2))
 
 
+@pytest.mark.slow
 def test_fused_pipeline_chained_blocks_short_tail():
     """Chained blocks with a short (masked) final block and nonzero
     block_base: carries and frame start positions must track the exact
@@ -82,6 +85,7 @@ def test_fused_pipeline_chained_blocks_short_tail():
         _carry_equal(ca, cb)
 
 
+@pytest.mark.slow
 def test_fused_pipeline_tiny_final_block_history():
     """n_valid < FIR_LEN (36) on the final block: carried FIR history
     must splice [history | samples], not read the pad tail (regression
@@ -102,6 +106,7 @@ def test_fused_pipeline_tiny_final_block_history():
             _carry_equal(ca, cb)
 
 
+@pytest.mark.slow
 def test_fused_pipeline_dense_frames_mini_slots():
     """Back-to-back frames (minimum gaps) exercise two completions per
     64-slot HDLC chunk — the mini-buffer depth bound."""
@@ -127,6 +132,7 @@ def test_fused_pipeline_dense_frames_mini_slots():
     _carry_equal(c1, c2)
 
 
+@pytest.mark.slow
 def test_fused_pipeline_mxu_fir_packet_parity():
     """mxu_fir swaps the in-kernel FIR for the XLA convolution — not
     guaranteed bit-exact on filtered floats, but packet decisions must
@@ -147,6 +153,7 @@ def test_fused_pipeline_mxu_fir_packet_parity():
     assert np.array_equal(np.asarray(c1.history), np.asarray(c2.history))
 
 
+@pytest.mark.slow
 def test_fused_pipeline_device_crc_filter():
     """device_crc compacts only CRC-passing frames on device; rejects
     land in the crcfail counter so BatchPipeline counters match the
@@ -180,6 +187,7 @@ def test_fused_pipeline_device_crc_filter():
                               b.payload_bits[:b.bufferlen])
 
 
+@pytest.mark.slow
 def test_fused_pipeline_stream_grid_multi_tile():
     """S > 1024 rides extra stream tiles on the kernel grid; results
     must stay bit-identical to the exact chain on every tile (incl. the
@@ -203,6 +211,7 @@ def test_fused_pipeline_stream_grid_multi_tile():
     assert np.asarray(c2.dpll.pll)[1024:].any()
 
 
+@pytest.mark.slow
 def test_fused_pipeline_end_to_end_vs_golden():
     rng = np.random.default_rng(7)
     payloads = [E.random_payload(rng) for _ in range(8)]

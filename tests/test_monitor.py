@@ -142,15 +142,35 @@ def test_webmap_server_serves_page_and_ships():
                 table.update_from_bits(bits)
     assert len(table.ships) == 1
 
-    srv = WebMapServer(table, port=0)
+    import tempfile
+    td = tempfile.mkdtemp()
+    # one fake cached tile: the server must serve it at /tiles/5/17/9.png
+    import os
+    os.makedirs(os.path.join(td, "5", "17"), exist_ok=True)
+    with open(os.path.join(td, "5", "17", "9.png"), "wb") as f:
+        f.write(b"\x89PNG-fake-tile")
+
+    srv = WebMapServer(table, port=0, tile_dir=td)
     srv.start()
     try:
         base = f"http://127.0.0.1:{srv.port}"
         page = urllib.request.urlopen(base + "/", timeout=5).read()
-        assert b"leaflet" in page and b"ships.json" in page
+        # fully self-contained: no CDN/external asset references
+        assert b"ships.json" in page and b"/tiles/" in page
+        assert b"unpkg.com" not in page and b"https://" not in page
         data = json.loads(
             urllib.request.urlopen(base + "/ships.json", timeout=5).read())
         assert data["ships"][0]["mmsi"] == 257012345
         assert abs(data["ships"][0]["latitude"] - 59.91) < 0.01
+        # local tile cache is served; uncached tiles 404 (client then
+        # keeps its graticule sea)
+        tl = urllib.request.urlopen(base + "/tiles/5/17/9.png",
+                                    timeout=5).read()
+        assert tl == b"\x89PNG-fake-tile"
+        try:
+            urllib.request.urlopen(base + "/tiles/5/0/0.png", timeout=5)
+            assert False, "uncached tile should 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
     finally:
         srv.stop()

@@ -1,6 +1,7 @@
 """Pipelined streaming decoder: order, equivalence, and carry safety."""
 
 import numpy as np
+import pytest
 
 from gnuais_tpu.golden import encoder as E
 from gnuais_tpu.runtime.pipeline import BatchPipeline
@@ -43,6 +44,7 @@ def test_pipelined_matches_sequential():
                                   b.payload_bits[:b.bufferlen])
 
 
+@pytest.mark.slow
 def test_pipelined_fused_pipeline_matches_sequential():
     """The flagship fused kernel must be reachable from the
     overlap-ingest path (not just bench.py)."""

@@ -4,6 +4,7 @@ frames, counters, carries, and absolute start positions — including
 frames straddling the inner block seams and a short (masked) tail."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -49,6 +50,7 @@ def test_superblock_short_tail_masking():
     _check_superblock_vs_sequential(x, t, k, nv_total=2 * t + 700)
 
 
+@pytest.mark.slow
 def test_superblock_fused_pipeline():
     s, t, k = 2, 1024, 3
     x = _noisy_batch(s, k * t, seed=2, n_payloads=4, gap_bits=24)

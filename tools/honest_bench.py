@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Trustworthy TPU throughput measurement.
+
+The axon plugin can serve STALE results for rapidly-queued async
+dispatches (observed: chained decode_blocks returning another buffer's
+frame counts), which silently inflates un-verified timing loops.
+Protocol here:
+  - P genuinely different pre-uploaded inputs, each with a DIFFERENT
+    known frame count;
+  - ONE dispatch in flight at a time (block_until_ready per iteration);
+  - the per-iteration frame count is read back and CHECKED against the
+    expected value for that specific input — a stale result aborts;
+  - big superblocks amortize the ~6 ms tunnel round trip that the
+    per-iteration sync re-exposes.
+"""
+import os, sys, time
+import numpy as np
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from gnuais_tpu.runtime import pipeline as pl
+    from gnuais_tpu.golden import encoder as E
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+    S, T, SB, ITERS, P = 1024, 49_152, 8, 8, 3
+    flags = {}
+    for a in sys.argv[1:]:
+        if a == "mxu": flags["mxu_fir"] = True
+        elif a == "lobe": flags["lobe_fir"] = True
+        elif a == "crc": flags["device_crc"] = True
+        elif a.startswith("S="): S = int(a[2:])
+        elif a.startswith("T="): T = int(a[2:])
+        elif a.startswith("SB="): SB = int(a[3:])
+        elif a.startswith("I="): ITERS = int(a[2:])
+
+    bufs, want = [], []
+    for p in range(P):
+        rng = np.random.default_rng(p)
+        n_pay = 3 + p            # distinct frame count per input
+        payloads = [E.random_payload(rng) for _ in range(n_pay)]
+        audio = E.synthesize_capture(payloads, gap_bits=64,
+                                     lead_in_bits=64 + 16 * p)
+        b = np.zeros((S, T), np.int16)
+        for s in range(S):
+            b[s, :len(audio)] = audio
+        # upload one block (~100 MB), tile to the superblock ON DEVICE
+        # (the host->device tunnel runs ~8-45 MB/s)
+        d = jax.device_put(jnp.asarray(b))
+        if SB > 1:
+            d = jax.jit(lambda a: jnp.tile(a, (1, SB)))(d)
+        bufs.append(d)
+        want.append(n_pay)
+    carry = pl.init_carry(S)
+    nv = jnp.int32(T * SB)
+
+    def step(x, c):
+        if SB > 1:
+            return pl.decode_superblock(x, nv, c, SB, frame_slots=32,
+                                        fused_pipeline=True, **flags)
+        return pl.decode_block(x, nv, c, frame_slots=32,
+                               fused_pipeline=True, **flags)
+
+    t0 = time.time()
+    c, fr, _ = step(bufs[0], carry)
+    jax.block_until_ready(fr)
+    print(f"compile+1st: {time.time()-t0:.1f}s backend={jax.default_backend()}")
+
+    times = []
+    c = carry
+    for k in range(ITERS):
+        x = bufs[k % P]
+        t0 = time.time()
+        c, fr, _ = step(x, c)
+        cnt = np.asarray(fr.count)        # sync + verify THIS dispatch
+        dt = time.time() - t0
+        exp = want[k % P] * (SB if SB > 1 else 1)
+        # superblock: count has [SB] leading axis; per-block count =
+        # n_pay (frames repeat per tiled block)
+        total = int(cnt.sum()) // S
+        assert total == exp, f"STALE/WRONG result at iter {k}: {total} != {exp}"
+        times.append(dt)
+        print(f"  iter {k}: {dt*1e3:8.2f} ms  "
+              f"{S*T*SB/dt/1e9:6.2f} Gsamp/s  (count ok)")
+    best = min(times)
+    med = sorted(times)[len(times)//2]
+    n = S * T * SB
+    print(f"S={S} T={T} SB={SB} {flags}: median {med*1e3:.2f} ms = "
+          f"{n/med/1e9:.2f} Gsamp/s   best {n/best/1e9:.2f} Gsamp/s "
+          f"(sync+verified per dispatch)")
+
+if __name__ == "__main__":
+    main()
