@@ -32,13 +32,14 @@ import numpy as np
 BASELINE_SAMPLES_PER_SEC = 2 * 48_000.0
 
 
-def build_batch(n_streams: int, block_len: int, frames_per_stream: int = 4):
+def build_batch(n_streams: int, block_len: int, frames_per_stream: int = 4,
+                seed: int = 0):
     """Per-stream capture variants (distinct lead-in lengths so streams
     are not lock-step identical, but every frame stays intact and
     bit-grid aligned)."""
     from gnuais_tpu.golden import encoder as E
 
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(seed)
     payloads = [E.random_payload(rng) for _ in range(frames_per_stream)]
     variants = []
     for v in range(min(8, n_streams)):
@@ -70,7 +71,21 @@ def _enable_compile_cache():
 def run_bench(n_streams: int = 256, block_len: int = 49_152,
               iters: int = 10, fast: bool = True,
               frames_per_stream: int = 4, device_crc: bool = False,
-              scaling: bool = False, superblock: int = 1):
+              scaling: bool = False, superblock: int = 1,
+              sublanes: int = 8, lobe_fir: bool = False):
+    """Verified throughput measurement.
+
+    The TPU plugin dedupes repeated identical dispatches, a repeated
+    block drives the decoder carry to a fixed point (re-enabling dedup
+    even for carry-chained loops), and deep async dispatch queues can
+    return stale results — all three inflate naive timing loops (the
+    round-2 number was ~1.5x high).  Protocol here: several genuinely
+    DIFFERENT pre-built inputs with different known frame counts, ONE
+    dispatch in flight (the per-iteration count readback synchronizes),
+    and every iteration's counts checked against that input's ground
+    truth.  Big superblocks amortize the ~23 ms dispatch+readback cost
+    the sync re-exposes.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -81,37 +96,53 @@ def run_bench(n_streams: int = 256, block_len: int = 49_152,
     on_tpu = jax.default_backend() == "tpu"
     fast = fast and on_tpu
     device_crc = device_crc and fast
+    kflags = {}
+    if fast and sublanes != 8:
+        kflags["kernel_sublanes"] = sublanes
+    if fast and lobe_fir:
+        kflags["lobe_fir"] = True
 
-    batch, n_payloads = build_batch(n_streams, block_len,
-                                    frames_per_stream)
-    if superblock > 1:
-        # tile the block out to a superblock (frames repeat per block)
-        batch = np.tile(batch, (1, superblock))
-    xj = jax.device_put(jnp.asarray(batch))
+    # distinct-input set must fit HBM next to the superblock transpose
+    n_variants = 3 if n_streams * block_len * superblock * 2 <= 4e9 \
+        else 2
+    bufs, wants = [], []
+    for v in range(n_variants):
+        batch, n_pay = build_batch(n_streams, block_len,
+                                   frames_per_stream + v % 2, seed=v)
+        d = jax.device_put(jnp.asarray(batch))
+        if superblock > 1:
+            # tile to the superblock ON DEVICE (the host->device link
+            # is slow); frames then repeat per inner block
+            d = jax.jit(lambda a: jnp.tile(a, (1, superblock)))(d)
+        bufs.append(d)
+        wants.append(n_pay)
+    xj = bufs[0]
+    n_payloads = wants[0]
     nv = jnp.int32(block_len * superblock)
     carry = pl.init_carry(n_streams)
 
-    def step(c):
+    def step(x, c):
         # fused_pipeline = ONE Pallas kernel for FIR+DPLL+slotting+HDLC
-        # (bit-identical to the exact chain; raw samples -> frame
-        # candidates with no intermediate array in HBM; stream tiles
-        # beyond 1024 ride the kernel grid); device_crc filters frame
-        # candidates on device so only CRC-passing frames drain;
-        # superblock > 1 chains that many blocks through ONE dispatch
-        # (lax.scan on device) so the host/tunnel round trip amortizes
+        # (raw samples -> frame candidates with no intermediate array
+        # in HBM; stream tiles beyond 1024*sublanes/8 ride the kernel
+        # grid); sublanes>8 pipelines more independent per-lane
+        # DPLL/HDLC chains through the latency-bound recurrence;
+        # device_crc filters frame candidates on device so only
+        # CRC-passing frames drain; superblock > 1 chains that many
+        # blocks through ONE dispatch (lax.scan on device)
         if superblock > 1:
-            return pl.decode_superblock(xj, nv, c, superblock,
+            return pl.decode_superblock(x, nv, c, superblock,
                                         frame_slots=32, exact_fir=True,
                                         fused_pipeline=fast,
-                                        device_crc=device_crc)
-        return pl.decode_block(xj, nv, c, frame_slots=32,
+                                        device_crc=device_crc, **kflags)
+        return pl.decode_block(x, nv, c, frame_slots=32,
                                exact_fir=True, fused_pipeline=fast,
-                               device_crc=device_crc)
+                               device_crc=device_crc, **kflags)
 
     # compile + correctness check: counts AND a CRC-verified drain (a
     # count check alone would miss corrupted frame payload words — the
     # count rides a separate cumsum path)
-    carry1, frames, _ = step(carry)
+    carry1, frames, _ = step(xj, carry)
     jax.block_until_ready(frames)
     count = np.asarray(frames.count)
     assert (count == n_payloads).all(), (
@@ -126,19 +157,26 @@ def run_bench(n_streams: int = 256, block_len: int = 49_152,
     assert n_ok == want_ok, (
         f"bench frames fail CRC after drain: {n_ok} != {want_ok}")
 
-    # steady state, carry-chained
+    # steady state: verified per dispatch (see docstring)
     c = carry
-    t0 = time.time()
-    for _ in range(iters):
-        c, frames, _ = step(c)
-    jax.block_until_ready((c, frames))
-    dt = (time.time() - t0) / iters
+    times = []
+    for k in range(iters):
+        x = bufs[k % n_variants]
+        t0 = time.time()
+        c, frames, _ = step(x, c)
+        total = int(np.asarray(frames.count).sum())   # sync + verify
+        times.append(time.time() - t0)
+        want = wants[k % n_variants] * n_streams * max(superblock, 1)
+        assert total == want, (
+            f"stale/wrong result at iter {k}: {total} != {want}")
+    dt = sorted(times)[len(times) // 2]
     sps = n_streams * block_len * superblock / dt
 
     extra = {}
     if scaling:
         extra = _measure_scaling(sps, n_streams, block_len, iters,
-                                 fast, device_crc, xj, nv, superblock)
+                                 fast, device_crc, xj, nv, superblock,
+                                 kflags)
         extra.update(_measure_timepar())
     return sps, extra
 
@@ -205,7 +243,7 @@ def _measure_timepar(n_samples: int = 100_000_000):
 
 
 def _measure_scaling(sps_1chip, n_streams, block_len, iters, fast,
-                     device_crc, xj, nv, superblock=1):
+                     device_crc, xj, nv, superblock=1, kflags=None):
     """BASELINE.md asks for samples/s/chip at 1 and N chips.  This
     environment exposes ONE chip, so with n_devices == 1 the block is
     labeled ``single_chip_shard_overhead`` — the shard_map step vs the
@@ -226,17 +264,24 @@ def _measure_scaling(sps_1chip, n_streams, block_len, iters, fast,
         fn = make_sharded_decode(mesh, frame_slots=32,
                                  fused_pipeline=fast,
                                  device_crc=device_crc,
-                                 superblock=superblock)
+                                 superblock=superblock,
+                                 **(kflags or {}))
         xs = jax.device_put(xj, M.stream_sharding(mesh))
         carry = jax.device_put(pl.init_carry(n_streams),
                                M.carry_sharding(mesh))
         c, frames, _ = fn(xs, nv, carry)
         jax.block_until_ready(frames)
-        t0 = time.time()
+        want = int(np.asarray(frames.count).sum())
+        times = []
         for _ in range(iters):
+            t0 = time.time()
             c, frames, _ = fn(xs, nv, c)
-        jax.block_until_ready((c, frames))
-        dt = (time.time() - t0) / iters
+            # per-dispatch sync + sanity: same protocol as the main
+            # loop (async-queue timing through the tunnel is a lie)
+            total = int(np.asarray(frames.count).sum())
+            times.append(time.time() - t0)
+            assert total == want, (total, want)
+        dt = sorted(times)[len(times) // 2]
         sps_n = n_streams * block_len * superblock / dt
         block = {
             "chips": n_dev,
@@ -252,13 +297,19 @@ def _measure_scaling(sps_1chip, n_streams, block_len, iters, fast,
 
 
 CONFIGS = [
-    # flagship: fused Pallas pipeline, 8 blocks chained per dispatch
-    # (the tunnel round trip is ~6 ms — comparable to the device time
-    # of a 50 Msample block — so superblocking roughly doubles
-    # measured throughput), host CRC via the native C++ drain
+    # flagship: fused Pallas pipeline at 32-sublane stream tiles (4096
+    # independent per-lane DPLL/HDLC chains pipeline the latency-bound
+    # recurrence), main-lobe FIR, 8 blocks chained per dispatch to
+    # amortize the ~23 ms verified-dispatch cost
+    dict(n_streams=4096, block_len=49_152, iters=8, superblock=12,
+         sublanes=32, lobe_fir=True, scaling=True),
+    dict(n_streams=4096, block_len=49_152, iters=8, superblock=8,
+         sublanes=32, lobe_fir=True, scaling=True),
+    # fallback: exact-FIR kernel at 16 sublanes (the 32-sublane tile
+    # only fits VMEM with the main-lobe FIR)
+    dict(n_streams=2048, block_len=49_152, iters=8, superblock=8,
+         sublanes=16, scaling=True),
     dict(n_streams=1024, block_len=49_152, iters=10, superblock=8,
-         scaling=True),
-    dict(n_streams=4096, block_len=49_152, iters=10, superblock=4,
          scaling=True),
     dict(n_streams=1024, block_len=49_152, iters=10, device_crc=True),
     dict(n_streams=1024, block_len=49_152, iters=10),

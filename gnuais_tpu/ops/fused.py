@@ -42,13 +42,14 @@ _TAPS_F32 = [float(v) for v in np.asarray(C.FIR_TAPS, dtype=np.float32)]
 # < 1.3e-13, so with int16 inputs (|x| <= 32768) their total possible
 # contribution (< 1e-8) is orders of magnitude below the smallest
 # nonzero magnitude an f32 cancellation of main-lobe terms can produce
-# (~ulp(1e3) ~ 6e-5) — the SIGN the slicer consumes is unchanged for
-# every input that excites any main-lobe tap.  The exception is inputs
-# whose window is nonzero ONLY at skipped-tap positions (e.g. the first
-# samples of a signal onset after digital silence), where the exact
-# chain sees a +-1e-43-magnitude sign wiggle and this path sees exact
-# zero — a sub-noise difference gated by packet-parity tests, like
-# fir_mode="mxu".
+# (~ulp(1e3) ~ 6e-5) — dropping them cannot move the slicer's sign for
+# any input that excites a main-lobe tap.  Two residual deviations from
+# the exact chain make this a packet-parity-gated mode (like "mxu"),
+# NOT a bit-exact one: (a) windows nonzero ONLY at skipped-tap
+# positions (first samples of an onset after digital silence) see
+# exact 0 instead of a +-1e-43 wiggle; (b) the symmetric PAIRING below
+# reorders the f32 accumulation, so sums within rounding noise of zero
+# can round to the other sign.
 LOBE_LO, LOBE_HI = 10, 25
 assert all(abs(t) < 1.3e-13 for i, t in enumerate(_TAPS_F32)
            if not (LOBE_LO <= i <= LOBE_HI))
@@ -175,22 +176,29 @@ def dpll_pallas_tiles(filtered_tiles: jax.Array, n_valid: jax.Array,
     return bits, pll2, prev2, last2
 
 
-def n_stream_tiles(s: int) -> int:
-    return -(-s // TILE_STREAMS)
+def n_stream_tiles(s: int, sublanes: int = SUBLANES) -> int:
+    return -(-s // (sublanes * LANES))
 
 
-def _to_tiles(x: jax.Array) -> Tuple[jax.Array, int]:
-    """[S, T] -> [NT*T, 8, 128] tiles (S padded to NT*1024), dtype
-    preserved: stream-tile-major, time contiguous within each tile.
+def _to_tiles(x: jax.Array,
+              sublanes: int = SUBLANES) -> Tuple[jax.Array, int]:
+    """[S, T] -> [NT*T, sublanes, 128] tiles (S padded to a tile
+    multiple), dtype preserved: stream-tile-major, time contiguous
+    within each tile.
 
     Keeping int16 input at int16 halves the HBM traffic of this
-    transpose (the kernels convert to float32 per-register-tile)."""
+    transpose (the kernels convert to float32 per-register-tile).
+    sublanes > 8 runs MULTIPLE independent stream groups per VPU op:
+    the sequential DPLL/HDLC recurrence is latency-bound, so wider
+    tiles pipeline more independent per-lane chains through the same
+    op latency."""
     s, t = x.shape
-    nt = n_stream_tiles(s)
-    pad = nt * TILE_STREAMS - s
+    ts = sublanes * LANES
+    nt = n_stream_tiles(s, sublanes)
+    pad = nt * ts - s
     xp = jnp.pad(x, ((0, pad), (0, 0)))
-    return (xp.reshape(nt, TILE_STREAMS, t).transpose(0, 2, 1)
-            .reshape(nt * t, SUBLANES, LANES), pad)
+    return (xp.reshape(nt, ts, t).transpose(0, 2, 1)
+            .reshape(nt * t, sublanes, LANES), pad)
 
 
 def _carry_history(samples: jax.Array, history: jax.Array,
@@ -213,12 +221,12 @@ def _carry_history(samples: jax.Array, history: jax.Array,
         small, jnp.minimum(nv, C.FIR_LEN), C.FIR_LEN, axis=1)
 
 
-def _state_to_tiles(v: jax.Array) -> jax.Array:
-    """[S] -> [NT*8, 128] (stream-tile-major)."""
+def _state_to_tiles(v: jax.Array, sublanes: int = SUBLANES) -> jax.Array:
+    """[S] -> [NT*sublanes, 128] (stream-tile-major)."""
     s = v.shape[0]
-    nt = n_stream_tiles(s)
-    vp = jnp.pad(v, (0, nt * TILE_STREAMS - s))
-    return vp.reshape(nt * SUBLANES, LANES)
+    nt = n_stream_tiles(s, sublanes)
+    vp = jnp.pad(v, (0, nt * sublanes * LANES - s))
+    return vp.reshape(nt * sublanes, LANES)
 
 
 def _tiles_to_state(tile: jax.Array, s: int) -> jax.Array:
@@ -621,7 +629,7 @@ def _pipeline_kernel(scal_ref, x_ref, pll_in, prev_in, last_in, hist_in,
             hist[:] = hist_in[:]
         hst[:] = hst_in[:]
         sreg[:] = sreg_in[:]
-        mctr[:] = jnp.zeros((3, SUBLANES, LANES), dtype=jnp.int32)
+        mctr[:] = jnp.zeros(mctr.shape, dtype=jnp.int32)
 
     n_valid = scal_ref[0]
     block_base = scal_ref[1]
@@ -646,9 +654,9 @@ def _pipeline_kernel(scal_ref, x_ref, pll_in, prev_in, last_in, hist_in,
             stacked = jnp.concatenate([hist[:], x8], axis=0)
             fmat = jnp.dot(
                 amat_ref[:],
-                stacked.reshape(C.FIR_LEN + unroll, SUBLANES * LANES),
+                stacked.reshape(C.FIR_LEN + unroll, -1),
                 preferred_element_type=jnp.float32)
-            fs = fmat.reshape(unroll, SUBLANES, LANES)
+            fs = fmat.reshape((unroll,) + x8.shape[1:])
         elif with_fir:
             win = [hist[i] for i in range(C.FIR_LEN)]
             win += [x8[k] for k in range(unroll)]
@@ -764,31 +772,35 @@ def _pipeline_kernel(scal_ref, x_ref, pll_in, prev_in, last_in, hist_in,
         over_out[:] = mctr[2]
 
 
-def _hdlc_state_to_tiles(h: HdlcState) -> Tuple[jax.Array, jax.Array]:
+def _hdlc_state_to_tiles(h: HdlcState, sublanes: int = SUBLANES
+                         ) -> Tuple[jax.Array, jax.Array]:
     """HdlcState ([S] vars + [S, REG_WORDS] register) ->
-    ([NT*HDLC_VARS, 8, 128] int32, [NT*REG_WORDS, 8, 128] uint32),
-    stream-tile-major."""
+    ([NT*HDLC_VARS, sublanes, 128] int32, [NT*REG_WORDS, sublanes, 128]
+    uint32), stream-tile-major."""
     vars_ = jnp.stack([h.state, h.last, h.antallpreamble, h.nstartsign,
                        h.antallenner, h.bitstuff, h.bufferpos,
                        h.data_start])                     # [8, S]
     s = h.state.shape[0]
-    nt = n_stream_tiles(s)
-    pad = nt * TILE_STREAMS - s
+    ts = sublanes * LANES
+    nt = n_stream_tiles(s, sublanes)
+    pad = nt * ts - s
     vt = jnp.pad(vars_, ((0, 0), (0, pad))) \
-        .reshape(HDLC_VARS, nt, TILE_STREAMS).transpose(1, 0, 2) \
-        .reshape(nt * HDLC_VARS, SUBLANES, LANES)
+        .reshape(HDLC_VARS, nt, ts).transpose(1, 0, 2) \
+        .reshape(nt * HDLC_VARS, sublanes, LANES)
     rt = jnp.pad(h.shiftreg.T, ((0, 0), (0, pad))) \
-        .reshape(REG_WORDS, nt, TILE_STREAMS).transpose(1, 0, 2) \
-        .reshape(nt * REG_WORDS, SUBLANES, LANES)
+        .reshape(REG_WORDS, nt, ts).transpose(1, 0, 2) \
+        .reshape(nt * REG_WORDS, sublanes, LANES)
     return vt, rt
 
 
-def _tiles_to_hdlc_state(vt: jax.Array, rt: jax.Array, s: int) -> HdlcState:
-    nt = n_stream_tiles(s)
-    v = vt.reshape(nt, HDLC_VARS, TILE_STREAMS).transpose(1, 0, 2) \
-        .reshape(HDLC_VARS, nt * TILE_STREAMS)[:, :s]
-    r = rt.reshape(nt, REG_WORDS, TILE_STREAMS).transpose(1, 0, 2) \
-        .reshape(REG_WORDS, nt * TILE_STREAMS)[:, :s]
+def _tiles_to_hdlc_state(vt: jax.Array, rt: jax.Array, s: int,
+                         sublanes: int = SUBLANES) -> HdlcState:
+    ts = sublanes * LANES
+    nt = n_stream_tiles(s, sublanes)
+    v = vt.reshape(nt, HDLC_VARS, ts).transpose(1, 0, 2) \
+        .reshape(HDLC_VARS, nt * ts)[:, :s]
+    r = rt.reshape(nt, REG_WORDS, ts).transpose(1, 0, 2) \
+        .reshape(REG_WORDS, nt * ts)[:, :s]
     return HdlcState(
         state=v[0], last=v[1], antallpreamble=v[2], nstartsign=v[3],
         antallenner=v[4], bitstuff=v[5], bufferpos=v[6], data_start=v[7],
@@ -802,7 +814,8 @@ def pipeline_fused(samples: jax.Array, n_valid: jax.Array,
                    unroll: int = 32, guarded: bool = True,
                    prefiltered: bool = False, fir_mode: str = "vpu",
                    lost2_lo: jax.Array | None = None,
-                   lost2_hi: jax.Array | None = None):
+                   lost2_hi: jax.Array | None = None,
+                   sublanes: int = SUBLANES):
     """Fused raw-samples -> frame-candidates decode step.
 
     samples: int16/float32 [S, T] (any S — streams beyond 1024 ride
@@ -818,6 +831,13 @@ def pipeline_fused(samples: jax.Array, n_valid: jax.Array,
     (e.g. from the MXU convolution fir.fir_conv) — the in-kernel FIR is
     skipped and ``history`` (the caller-maintained raw-sample carry) is
     passed through unchanged.
+
+    sublanes: stream-tile height.  The DPLL/HDLC recurrence is a
+    latency-bound dependent chain, so a [8, 128] tile leaves the VPU
+    mostly idle between chain steps; sublanes=16/32 runs 2048/4096
+    streams' INDEPENDENT chains through the same op sequence,
+    pipelining the latency (bit-identical results — lanes never
+    interact).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -825,19 +845,21 @@ def pipeline_fused(samples: jax.Array, n_valid: jax.Array,
     assert t % time_chunk == 0 and time_chunk % unroll == 0 \
         and unroll % 4 == 0 and time_chunk % (4 * HDLC_CHUNK) == 0, \
         (t, time_chunk, unroll)
-    nt = n_stream_tiles(s)
+    sb = sublanes
+    ts = sb * LANES
+    nt = n_stream_tiles(s, sb)
     cpt = t // time_chunk
     nch = time_chunk // (4 * HDLC_CHUNK)     # HDLC chunks per grid step
     n_chunks = t // (4 * HDLC_CHUNK)         # HDLC chunks per tile
     # int16 stays int16 through the transpose (half the HBM traffic);
     # the kernel casts per register tile
-    tiles, _pad = _to_tiles(samples)
-    hist_t = jnp.pad(history, ((0, nt * TILE_STREAMS - s), (0, 0))) \
-        .reshape(nt, TILE_STREAMS, C.FIR_LEN).transpose(0, 2, 1) \
-        .reshape(nt * C.FIR_LEN, SUBLANES, LANES)
-    hvt, hrt = _hdlc_state_to_tiles(hdlc)
+    tiles, _pad = _to_tiles(samples, sb)
+    hist_t = jnp.pad(history, ((0, nt * ts - s), (0, 0))) \
+        .reshape(nt, ts, C.FIR_LEN).transpose(0, 2, 1) \
+        .reshape(nt * C.FIR_LEN, sb, LANES)
+    hvt, hrt = _hdlc_state_to_tiles(hdlc, sb)
 
-    tile2 = pl.BlockSpec((SUBLANES, LANES), lambda i, nv: (i // cpt, 0))
+    tile2 = pl.BlockSpec((sb, LANES), lambda i, nv: (i // cpt, 0))
     base_kernel = functools.partial(
         _pipeline_kernel, unroll=unroll, guarded=guarded,
         chunks_per_tile=cpt, with_fir=not prefiltered, fir_mode=fir_mode)
@@ -860,68 +882,68 @@ def pipeline_fused(samples: jax.Array, n_valid: jax.Array,
             num_scalar_prefetch=1,
             grid=(nt * cpt,),
             in_specs=[
-                pl.BlockSpec((time_chunk, SUBLANES, LANES),
+                pl.BlockSpec((time_chunk, sb, LANES),
                              lambda i, nv: (i, 0, 0)),
                 tile2, tile2, tile2,
-                pl.BlockSpec((C.FIR_LEN, SUBLANES, LANES),
+                pl.BlockSpec((C.FIR_LEN, sb, LANES),
                              lambda i, nv: (i // cpt, 0, 0)),
-                pl.BlockSpec((HDLC_VARS, SUBLANES, LANES),
+                pl.BlockSpec((HDLC_VARS, sb, LANES),
                              lambda i, nv: (i // cpt, 0, 0)),
-                pl.BlockSpec((REG_WORDS, SUBLANES, LANES),
+                pl.BlockSpec((REG_WORDS, sb, LANES),
                              lambda i, nv: (i // cpt, 0, 0)),
                 *extra_specs,
             ],
             out_specs=[
-                pl.BlockSpec((nch, MINI_SLOTS, REG_WORDS, SUBLANES, LANES),
+                pl.BlockSpec((nch, MINI_SLOTS, REG_WORDS, sb, LANES),
                              lambda i, nv: (i, 0, 0, 0, 0)),
-                pl.BlockSpec((nch, MINI_SLOTS, SUBLANES, LANES),
+                pl.BlockSpec((nch, MINI_SLOTS, sb, LANES),
                              lambda i, nv: (i, 0, 0, 0)),
-                pl.BlockSpec((nch, MINI_SLOTS, SUBLANES, LANES),
+                pl.BlockSpec((nch, MINI_SLOTS, sb, LANES),
                              lambda i, nv: (i, 0, 0, 0)),
-                pl.BlockSpec((nch, MINI_SLOTS, SUBLANES, LANES),
+                pl.BlockSpec((nch, MINI_SLOTS, sb, LANES),
                              lambda i, nv: (i, 0, 0, 0)),
-                pl.BlockSpec((nch, SUBLANES, LANES),
+                pl.BlockSpec((nch, sb, LANES),
                              lambda i, nv: (i, 0, 0)),
                 tile2, tile2, tile2,
-                pl.BlockSpec((HDLC_VARS, SUBLANES, LANES),
+                pl.BlockSpec((HDLC_VARS, sb, LANES),
                              lambda i, nv: (i // cpt, 0, 0)),
-                pl.BlockSpec((REG_WORDS, SUBLANES, LANES),
+                pl.BlockSpec((REG_WORDS, sb, LANES),
                              lambda i, nv: (i // cpt, 0, 0)),
                 tile2, tile2,
             ],
             scratch_shapes=[
-                pltpu.VMEM((3, SUBLANES, LANES), jnp.int32),
-                pltpu.VMEM((C.FIR_LEN, SUBLANES, LANES), jnp.float32),
-                pltpu.VMEM((HDLC_VARS, SUBLANES, LANES), jnp.int32),
-                pltpu.VMEM((REG_WORDS, SUBLANES, LANES), jnp.uint32),
-                pltpu.VMEM((MINI_SLOTS, REG_WORDS, SUBLANES, LANES),
+                pltpu.VMEM((3, sb, LANES), jnp.int32),
+                pltpu.VMEM((C.FIR_LEN, sb, LANES), jnp.float32),
+                pltpu.VMEM((HDLC_VARS, sb, LANES), jnp.int32),
+                pltpu.VMEM((REG_WORDS, sb, LANES), jnp.uint32),
+                pltpu.VMEM((MINI_SLOTS, REG_WORDS, sb, LANES),
                            jnp.uint32),
-                pltpu.VMEM((MINI_SLOTS, SUBLANES, LANES), jnp.int32),
-                pltpu.VMEM((MINI_SLOTS, SUBLANES, LANES), jnp.int32),
-                pltpu.VMEM((MINI_SLOTS, SUBLANES, LANES), jnp.int32),
-                pltpu.VMEM((3, SUBLANES, LANES), jnp.int32),
+                pltpu.VMEM((MINI_SLOTS, sb, LANES), jnp.int32),
+                pltpu.VMEM((MINI_SLOTS, sb, LANES), jnp.int32),
+                pltpu.VMEM((MINI_SLOTS, sb, LANES), jnp.int32),
+                pltpu.VMEM((3, sb, LANES), jnp.int32),
             ],
         ),
         out_shape=[
             jax.ShapeDtypeStruct((nt * n_chunks, MINI_SLOTS, REG_WORDS,
-                                  SUBLANES, LANES), jnp.uint32),
-            jax.ShapeDtypeStruct((nt * n_chunks, MINI_SLOTS, SUBLANES,
+                                  sb, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((nt * n_chunks, MINI_SLOTS, sb,
                                   LANES), jnp.int32),
-            jax.ShapeDtypeStruct((nt * n_chunks, MINI_SLOTS, SUBLANES,
+            jax.ShapeDtypeStruct((nt * n_chunks, MINI_SLOTS, sb,
                                   LANES), jnp.int32),
-            jax.ShapeDtypeStruct((nt * n_chunks, MINI_SLOTS, SUBLANES,
+            jax.ShapeDtypeStruct((nt * n_chunks, MINI_SLOTS, sb,
                                   LANES), jnp.int32),
-            jax.ShapeDtypeStruct((nt * n_chunks, SUBLANES, LANES),
+            jax.ShapeDtypeStruct((nt * n_chunks, sb, LANES),
                                  jnp.int32),
-            jax.ShapeDtypeStruct((nt * SUBLANES, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((nt * SUBLANES, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((nt * SUBLANES, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((nt * HDLC_VARS, SUBLANES, LANES),
+            jax.ShapeDtypeStruct((nt * sb, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((nt * sb, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((nt * sb, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((nt * HDLC_VARS, sb, LANES),
                                  jnp.int32),
-            jax.ShapeDtypeStruct((nt * REG_WORDS, SUBLANES, LANES),
+            jax.ShapeDtypeStruct((nt * REG_WORDS, sb, LANES),
                                  jnp.uint32),
-            jax.ShapeDtypeStruct((nt * SUBLANES, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((nt * SUBLANES, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((nt * sb, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((nt * sb, LANES), jnp.int32),
         ],
         interpret=interpret,
     )
@@ -936,26 +958,24 @@ def pipeline_fused(samples: jax.Array, n_valid: jax.Array,
     (mwords_t, mlen_t, mstart_t, mend_t, mcnt_t, pll2, prev2, last2,
      hvt2, hrt2, lost2_t, over_t) = kernel(
         scal, tiles,
-        _state_to_tiles(dpll.pll),
-        _state_to_tiles(dpll.prev),
-        _state_to_tiles(dpll.lastbit),
+        _state_to_tiles(dpll.pll, sb),
+        _state_to_tiles(dpll.prev, sb),
+        _state_to_tiles(dpll.lastbit, sb),
         hist_t, hvt, hrt, *extra_in)
 
     # unpack candidates to stream-major [S, K] (chunk-major, mini-minor
     # = arrival order, matching hdlc_scan's compaction)
     k = n_chunks * MINI_SLOTS
-    cw = mwords_t.reshape(nt, n_chunks, MINI_SLOTS, REG_WORDS,
-                          TILE_STREAMS) \
-        .transpose(0, 4, 1, 2, 3).reshape(nt * TILE_STREAMS, k,
-                                          REG_WORDS)[:s]
-    cl = mlen_t.reshape(nt, n_chunks, MINI_SLOTS, TILE_STREAMS) \
-        .transpose(0, 3, 1, 2).reshape(nt * TILE_STREAMS, k)[:s]
-    cs = mstart_t.reshape(nt, n_chunks, MINI_SLOTS, TILE_STREAMS) \
-        .transpose(0, 3, 1, 2).reshape(nt * TILE_STREAMS, k)[:s]
-    ce = mend_t.reshape(nt, n_chunks, MINI_SLOTS, TILE_STREAMS) \
-        .transpose(0, 3, 1, 2).reshape(nt * TILE_STREAMS, k)[:s]
-    cnt = mcnt_t.reshape(nt, n_chunks, TILE_STREAMS) \
-        .transpose(0, 2, 1).reshape(nt * TILE_STREAMS, n_chunks)[:s]
+    cw = mwords_t.reshape(nt, n_chunks, MINI_SLOTS, REG_WORDS, ts) \
+        .transpose(0, 4, 1, 2, 3).reshape(nt * ts, k, REG_WORDS)[:s]
+    cl = mlen_t.reshape(nt, n_chunks, MINI_SLOTS, ts) \
+        .transpose(0, 3, 1, 2).reshape(nt * ts, k)[:s]
+    cs = mstart_t.reshape(nt, n_chunks, MINI_SLOTS, ts) \
+        .transpose(0, 3, 1, 2).reshape(nt * ts, k)[:s]
+    ce = mend_t.reshape(nt, n_chunks, MINI_SLOTS, ts) \
+        .transpose(0, 3, 1, 2).reshape(nt * ts, k)[:s]
+    cnt = mcnt_t.reshape(nt, n_chunks, ts) \
+        .transpose(0, 2, 1).reshape(nt * ts, n_chunks)[:s]
     cand_valid = (jnp.arange(MINI_SLOTS)[None, None, :]
                   < cnt[:, :, None]).reshape(s, k)
     lost2 = lost2_t.reshape(-1)[:s]
@@ -972,6 +992,6 @@ def pipeline_fused(samples: jax.Array, n_valid: jax.Array,
         prev=_tiles_to_state(prev2, s),
         lastbit=_tiles_to_state(last2, s),
     )
-    new_hdlc = _tiles_to_hdlc_state(hvt2, hrt2, s)
+    new_hdlc = _tiles_to_hdlc_state(hvt2, hrt2, s, sb)
     return (cand_valid, cw, cl, cs, ce, lost2, over,
             new_history, new_dpll, new_hdlc)

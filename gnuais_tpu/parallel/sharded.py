@@ -59,24 +59,27 @@ def make_sharded_decode(mesh: Mesh, frame_slots: int = 32,
                         exact_fir: bool = True,
                         fused_pipeline: bool = False,
                         device_crc: bool = False,
-                        superblock: int = 1) -> Callable:
+                        superblock: int = 1,
+                        **decode_flags) -> Callable:
     """Returns jitted (samples [S,T], n_valid, carry) -> (carry', frames,
     peak) with S sharded over the ``streams`` mesh axis.  The fused
     flags select the flagship Pallas path inside each shard (the body
     stays collective-free either way).  superblock > 1: T is that many
     chained blocks decoded per dispatch (decode_superblock; FrameBatch
-    leaves gain a leading [superblock] axis)."""
+    leaves gain a leading [superblock] axis).  Extra keyword flags
+    (kernel_sublanes, lobe_fir, ...) pass through to decode_block."""
 
     def body(samples, n_valid, carry):
         if superblock > 1:
             return pl.decode_superblock(
                 samples, n_valid, carry, superblock,
                 frame_slots=frame_slots, exact_fir=exact_fir,
-                fused_pipeline=fused_pipeline, device_crc=device_crc)
+                fused_pipeline=fused_pipeline, device_crc=device_crc,
+                **decode_flags)
         return pl.decode_block(samples, n_valid, carry,
                                frame_slots=frame_slots, exact_fir=exact_fir,
                                fused_pipeline=fused_pipeline,
-                               device_crc=device_crc)
+                               device_crc=device_crc, **decode_flags)
 
     frames_spec = P(None, "streams") if superblock > 1 else P("streams")
     sharded = jax.shard_map(

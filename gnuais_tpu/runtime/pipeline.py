@@ -46,7 +46,9 @@ def init_dpll(n_streams: int):
 @functools.partial(jax.jit,
                    static_argnames=("frame_slots", "exact_fir", "fast_dpll",
                                     "fused_frontend", "fused_pipeline",
-                                    "device_crc", "mxu_fir", "lobe_fir"))
+                                    "device_crc", "mxu_fir", "lobe_fir",
+                                    "kernel_sublanes", "kernel_unroll",
+                                    "kernel_time_chunk", "with_peak"))
 def decode_block(samples: jax.Array, n_valid: jax.Array,
                  carry: PipelineCarry, frame_slots: int = 32,
                  exact_fir: bool = True, fast_dpll: bool = False,
@@ -56,6 +58,10 @@ def decode_block(samples: jax.Array, n_valid: jax.Array,
                  device_crc: bool = False,
                  mxu_fir: bool = False,
                  lobe_fir: bool = False,
+                 kernel_sublanes: int = 8,
+                 kernel_unroll: int = 32,
+                 kernel_time_chunk: int = 512,
+                 with_peak: bool = True,
                  lost2_lo: jax.Array | None = None,
                  lost2_hi: jax.Array | None = None
                  ) -> Tuple[PipelineCarry, demod.FrameBatch, jax.Array]:
@@ -91,7 +97,9 @@ def decode_block(samples: jax.Array, n_valid: jax.Array,
             block_base=block_base,
             fir_mode=("mxu" if mxu_fir else
                       "lobe" if lobe_fir else "vpu"),
-            lost2_lo=lost2_lo, lost2_hi=lost2_hi)
+            lost2_lo=lost2_lo, lost2_hi=lost2_hi,
+            sublanes=kernel_sublanes, unroll=kernel_unroll,
+            time_chunk=kernel_time_chunk)
         frames = demod.compact_candidates(
             demod.init_frames(samples.shape[0], frame_slots),
             cand_valid, cw, cl, cs, ce, lost2=lost2, over=over)
@@ -112,7 +120,10 @@ def decode_block(samples: jax.Array, n_valid: jax.Array,
                 frames.words, frames.length, frames.start, frames.end,
                 lost2=frames.lost2, over=frames.dropped)
             frames = kept._replace(crcfail=crcfail)
-        peak = fir.block_peak(samples)
+        # block_peak re-reads the whole raw block from HBM; skip it for
+        # throughput callers that do not feed a level monitor
+        peak = fir.block_peak(samples) if with_peak else \
+            jnp.zeros((samples.shape[0],), jnp.int32)
         return (PipelineCarry(history, dpll_state, hdlc_state),
                 frames, peak)
     if fused_frontend:
@@ -151,7 +162,9 @@ def decode_block(samples: jax.Array, n_valid: jax.Array,
                    static_argnames=("n_blocks", "frame_slots", "exact_fir",
                                     "fast_dpll", "fused_frontend",
                                     "fused_pipeline", "device_crc",
-                                    "mxu_fir", "lobe_fir"))
+                                    "mxu_fir", "lobe_fir", "kernel_sublanes",
+                                    "kernel_unroll", "kernel_time_chunk",
+                                    "with_peak"))
 def decode_superblock(samples: jax.Array, n_valid: jax.Array,
                       carry: PipelineCarry, n_blocks: int,
                       frame_slots: int = 32,
@@ -175,6 +188,11 @@ def decode_superblock(samples: jax.Array, n_valid: jax.Array,
     s, total = samples.shape
     assert total % n_blocks == 0, (total, n_blocks)
     t = total // n_blocks
+    # the [K, S, T] transpose costs a read+write of the whole
+    # superblock, but scan consuming pre-transposed slices measured
+    # FASTER than dynamic-slicing blocks out of the flat buffer inside
+    # the body (9.0 vs 10.0 Gsamp/s at S=4096) — the copy pays for
+    # better-pipelined per-step input DMA
     xs = samples.reshape(s, n_blocks, t).transpose(1, 0, 2)   # [K, S, T]
     base = jnp.asarray(block_base, dtype=jnp.int32)
 
@@ -286,7 +304,8 @@ class BatchPipeline:
                  frame_slots: int = 32, exact_fir: bool = True,
                  fast_dpll: bool = False, fused_frontend: bool = False,
                  fused_pipeline: bool = False, device_crc: bool = False,
-                 mxu_fir: bool = False, lobe_fir: bool = False):
+                 mxu_fir: bool = False, lobe_fir: bool = False,
+                 **kernel_flags):
         if fast_dpll or fused_frontend or fused_pipeline:
             assert block_len % 512 == 0, "fast path: block_len % 512 == 0"
         assert not (device_crc and not fused_pipeline), \
@@ -305,6 +324,9 @@ class BatchPipeline:
         self.device_crc = device_crc
         self.mxu_fir = mxu_fir
         self.lobe_fir = lobe_fir
+        # extra static kernel knobs (kernel_sublanes, kernel_unroll,
+        # kernel_time_chunk, with_peak) pass straight to decode_block
+        self.kernel_flags = kernel_flags
         self.carry = init_carry(n_streams)
         self.counters = [StreamCounters() for _ in range(n_streams)]
 
@@ -320,7 +342,8 @@ class BatchPipeline:
             frame_slots=self.frame_slots, exact_fir=self.exact_fir,
             fast_dpll=self.fast_dpll, fused_frontend=self.fused_frontend,
             fused_pipeline=self.fused_pipeline, device_crc=self.device_crc,
-            mxu_fir=self.mxu_fir, lobe_fir=self.lobe_fir)
+            mxu_fir=self.mxu_fir, lobe_fir=self.lobe_fir,
+            **self.kernel_flags)
         per_stream = extract_frames(frames)
         return self._account(per_stream, frames)
 
@@ -341,7 +364,8 @@ class BatchPipeline:
             frame_slots=self.frame_slots, exact_fir=self.exact_fir,
             fast_dpll=self.fast_dpll, fused_frontend=self.fused_frontend,
             fused_pipeline=self.fused_pipeline, device_crc=self.device_crc,
-            mxu_fir=self.mxu_fir, lobe_fir=self.lobe_fir)
+            mxu_fir=self.mxu_fir, lobe_fir=self.lobe_fir,
+            **self.kernel_flags)
         host = jax.tree.map(np.asarray, frames_k)      # one transfer
         merged: List[List[Frame]] = [[] for _ in range(s)]
         for b in range(k):

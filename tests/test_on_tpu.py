@@ -195,6 +195,42 @@ def test_tpu_superblock_scan():
     assert np.array_equal(total, want_f.count)
 
 
+def test_tpu_wide_sublane_tiles_bitexact():
+    """kernel_sublanes=16 (wider stream tiles: more independent lane
+    chains pipelining the latency-bound recurrence) must stay
+    bit-exact vs the CPU exact chain on real silicon.  (32-sublane
+    tiles need the main-lobe FIR to fit VMEM, covered below.)"""
+    _require_tpu()
+    x = _noisy_batch(8, 4096, seed=31)
+    want = _decode_on(_cpu(), x, 4096)
+    got = _decode_on(_tpu(), x, 4096, fused_pipeline=True,
+                     kernel_sublanes=16)
+    _assert_equal_tree(want, got)
+
+
+def test_tpu_flagship_lobe_sl32_packet_parity():
+    """The flagship bench mode (kernel_sublanes=32 + main-lobe FIR) on
+    real silicon: the lobe FIR pairs mirrored taps, which reorders the
+    f32 accumulation — like mxu_fir it is packet-parity-gated, not
+    bit-exact (signs can flip for sums within rounding noise of 0)."""
+    _require_tpu()
+    x = _noisy_batch(8, 4096, seed=37)
+    _cv, v, _ = _decode_on(_tpu(), x, 4096, fused_pipeline=True)
+    _cm, m, _ = _decode_on(_tpu(), x, 4096, fused_pipeline=True,
+                           kernel_sublanes=32, lobe_fir=True)
+    assert np.array_equal(v.count, m.count)
+    for s in range(x.shape[0]):
+        k = v.count[s]
+        assert np.array_equal(v.words[s, :k], m.words[s, :k])
+        assert np.array_equal(v.length[s, :k], m.length[s, :k])
+        # a rounding-marginal sign flip can move a DPLL emission by a
+        # sample, shifting recorded positions without touching payload
+        # bits — the same +-2 jitter envelope the overlap-resync paths
+        # tolerate (sharded.OWN_MARGIN)
+        assert np.abs(v.start[s, :k] - m.start[s, :k]).max() <= 2
+        assert np.abs(v.end[s, :k] - m.end[s, :k]).max() <= 2
+
+
 def test_tpu_mxu_fir_packet_parity():
     """mxu_fir relaxes bit-exactness of the FIR but must keep packet
     decisions on captures (the documented gate).  Runs the REAL MXU

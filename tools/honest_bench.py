@@ -32,12 +32,18 @@ def main():
     for a in sys.argv[1:]:
         if a == "mxu": flags["mxu_fir"] = True
         elif a == "lobe": flags["lobe_fir"] = True
+        elif a.startswith("SL="): flags["kernel_sublanes"] = int(a[3:])
+        elif a.startswith("U="): flags["kernel_unroll"] = int(a[2:])
+        elif a.startswith("TC="): flags["kernel_time_chunk"] = int(a[3:])
+        elif a == "NP": flags["with_peak"] = False
         elif a == "crc": flags["device_crc"] = True
         elif a.startswith("S="): S = int(a[2:])
         elif a.startswith("T="): T = int(a[2:])
         elif a.startswith("SB="): SB = int(a[3:])
         elif a.startswith("I="): ITERS = int(a[2:])
 
+    # fit the distinct-input set in HBM (~16 GB)
+    P = max(2, min(P, int(12e9 // (S * T * SB * 2))))
     bufs, want = [], []
     for p in range(P):
         rng = np.random.default_rng(p)
