@@ -457,21 +457,22 @@ HDLC_VARS = 8   # state, last, antallpreamble, nstartsign, antallenner,
                 # bitstuff, bufferpos, data_start
 
 
-def _hdlc_slot_tiles(hv, srg, b, valid, spos):
-    """One HDLC bit-slot update on [8, 128] stream tiles.
+def _hdlc_slot_tiles(hv, b, valid, spos):
+    """One HDLC bit-slot STATE update on stream tiles (register shift
+    excluded — see _single_shift).
 
     Mirrors the per-slot update in ops.demod.hdlc_scan (itself an exact
     re-derivation of protodec.c:993-1121) with streams on VPU lanes.
 
-    hv: tuple of HDLC_VARS int32 tiles; srg: list of REG_WORDS uint32
-    tiles (word 0 oldest, newest bit = LSB of the last word); b: int32
-    bit tile; valid: bool tile (slots without an emitted bit freeze the
-    state); spos: int32 tile of absolute sample indices.
+    hv: tuple of HDLC_VARS int32 tiles; b: int32 bit tile; valid: bool
+    tile (slots without an emitted bit freeze the state); spos: int32
+    tile of absolute sample indices.
 
-    Returns (hv', srg', emit, flen, bad) — emit marks completed frames
-    of positive length (snapshot = srg', unchanged on stop slots); flen
-    is the pre-reset payload bit count; bad marks wrong-size stop flags
-    (the reference's lostframes2 counter).
+    Returns (hv', append, emit, flen, bad) — append marks lanes whose
+    shift register consumes this slot's bit; emit marks completed
+    frames of positive length (their register snapshot excludes this
+    slot — stop slots never append); flen is the pre-reset payload bit
+    count; bad marks wrong-size stop flags (lostframes2).
     """
     st_state, st_last, st_ap, st_ns, st_ae, st_bs, st_bp, st_ds = hv
 
@@ -565,18 +566,27 @@ def _hdlc_slot_tiles(hv, srg, b, valid, spos):
         return jnp.where(valid, new, old)
 
     append = valid & is_data & d_app
-    bu = b.astype(jnp.uint32)
-    new_srg = []
-    for w in range(REG_WORDS):
-        carry_in = (srg[w + 1] >> 31) if w + 1 < REG_WORDS else bu
-        new_srg.append(jnp.where(append, (srg[w] << 1) | carry_in, srg[w]))
 
     hv2 = (keep(n_state, st_state), keep(b, st_last), keep(n_ap, st_ap),
            keep(n_ns, st_ns), keep(n_ae, st_ae), keep(n_bs, st_bs),
            keep(n_bp, st_bp), keep(n_ds, st_ds))
     emit = is_stop & good & valid
     bad = is_stop & jnp.logical_not(good) & valid
-    return hv2, new_srg, emit, flen, bad
+    return hv2, append, emit, flen, bad
+
+
+def _single_shift(srg, b, append):
+    """Shift the packed register left by one, inserting ``b``, on
+    append lanes only.  (A paired two-slot variant with per-lane
+    variable shift amounts measured ~10% slower on v5e — vector shifts
+    with vector amounts lower poorly in Mosaic — so the straight
+    per-slot form stays.)"""
+    bu = b.astype(jnp.uint32)
+    out = []
+    for w in range(REG_WORDS):
+        carry_in = (srg[w + 1] >> 31) if w + 1 < REG_WORDS else bu
+        out.append(jnp.where(append, (srg[w] << 1) | carry_in, srg[w]))
+    return out
 
 
 def _fir_band_matrix(unroll: int) -> np.ndarray:
@@ -705,12 +715,17 @@ def _pipeline_kernel(scal_ref, x_ref, pll_in, prev_in, last_in, hist_in,
                 gbit = (acc >> 2) & 1
                 spos = (block_base + chunk * tc + base + (k - 3)) \
                     + (acc & 3)
-                hv, srg, emit, flen, bad = _hdlc_slot_tiles(
-                    hv, srg, gbit, gval, spos)
+                hv, app, emit, flen, bad = _hdlc_slot_tiles(
+                    hv, gbit, gval, spos)
                 ml2 = ml2 + (bad & (spos >= l2_lo) & (spos < l2_hi)
                              ).astype(jnp.int32)
                 mover = mover + (emit & (mcnt >= MINI_SLOTS)
                                  ).astype(jnp.int32)
+                # per-slot register shift (a paired _double_shift with
+                # per-lane variable shift amounts measured ~10% SLOWER
+                # on v5e — vector shifts with vector amounts lower
+                # poorly; the straight form stays)
+                srg = _single_shift(srg, gbit, app)
 
                 def snapshot(emit=emit, flen=flen, srg=srg, hv=hv,
                              mcnt=mcnt, spos=spos):
