@@ -204,8 +204,12 @@ def _measure_timepar(n_samples: int = 100_000_000):
         noise = rng.normal(0, 300, stream.shape)
         stream = np.clip(stream + noise, -32768, 32767).astype(np.int16)
         xd = jax.device_put(jnp.asarray(stream))
-        # 100 Msamples -> ~1527 lanes: beyond one 1024-stream tile, so
-        # this also exercises the multi-tile lane path on real silicon
+        # 100 Msamples -> ~1527 lanes (beyond one 1024-stream tile, so
+        # the multi-tile lane path runs on real silicon).  This mode's
+        # wall clock is dominated by the host drain over the tunnel,
+        # not the kernel: wider sublane tiles + smaller chunks measured
+        # SLOWER end-to-end (223 vs ~290 Msamp/s) despite the faster
+        # kernel, so the lane shape stays simple.
         res = time_parallel_decode(xd, dense_cap=16384)    # compile
         t0 = time.time()
         res = time_parallel_decode(xd, dense_cap=16384)

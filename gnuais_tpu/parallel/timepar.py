@@ -103,8 +103,8 @@ def time_parallel_decode(stream: np.ndarray, chunk_len: int = 65_536,
                          frame_slots: int = 64,
                          fast_dpll: bool = False,
                          fused_pipeline: bool | None = None,
-                         dense_cap: Optional[int] = 8192
-                         ) -> TimeParallelResult:
+                         dense_cap: Optional[int] = 8192,
+                         **decode_flags) -> TimeParallelResult:
     """Decode one int16 stream with K parallel chunk lanes.
 
     Returns CRC-passing frames ordered by absolute start position.
@@ -154,7 +154,7 @@ def time_parallel_decode(stream: np.ndarray, chunk_len: int = 65_536,
         frame_slots=frame_slots, exact_fir=True, fast_dpll=fast_dpll,
         fused_pipeline=fused_pipeline, block_base=0,
         lost2_lo=jnp.int32(overlap),
-        lost2_hi=jnp.int32(overlap + chunk_len))
+        lost2_hi=jnp.int32(overlap + chunk_len), **decode_flags)
     wrong_size = int(np.asarray(frames.lost2).sum())
 
     def finish(ok_items, bad_starts):
