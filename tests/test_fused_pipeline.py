@@ -154,6 +154,44 @@ def test_fused_pipeline_mxu_fir_packet_parity():
 
 
 @pytest.mark.slow
+def test_fused_pipeline_lobe_fir_packet_parity():
+    """The flagship bench FIR (fir_mode="lobe": 16 main-lobe taps,
+    symmetric pairing) must keep packet decisions — payload words,
+    lengths and counts — identical to the exact kernel on the bench's
+    own capture shape (clean frames with per-stream lead-in variants;
+    the bench additionally CRC-gates every run inline).  A slicer
+    sample within rounding noise of a zero crossing CAN decide a
+    borderline frame differently — the same statistical envelope as
+    overlap-resync — which is why lobe stays a gated throughput mode
+    and the byte-parity CLI paths never use it."""
+    s, t = 4, 3584
+    rng = np.random.default_rng(29)
+    payloads = [E.random_payload(rng, msg_type=1) for _ in range(1)]
+    x = np.zeros((s, t), dtype=np.int16)
+    for i in range(s):
+        audio = E.synthesize_capture(payloads, gap_bits=48,
+                                     lead_in_bits=64 + 16 * i)
+        assert len(audio) <= t, len(audio)
+        x[i, :len(audio)] = audio
+    c0 = init_carry(s)
+    c1, f1, _ = decode_block(jnp.asarray(x), jnp.int32(t), c0,
+                             frame_slots=16, fused_pipeline=True)
+    c2, f2, _ = decode_block(jnp.asarray(x), jnp.int32(t), c0,
+                             frame_slots=16, fused_pipeline=True,
+                             lobe_fir=True)
+    assert np.array_equal(np.asarray(f1.count), np.asarray(f2.count))
+    assert (np.asarray(f1.count) == 1).all()
+    for i in range(s):
+        k = int(np.asarray(f1.count)[i])
+        assert np.array_equal(np.asarray(f1.words)[i, :k],
+                              np.asarray(f2.words)[i, :k])
+        assert np.array_equal(np.asarray(f1.length)[i, :k],
+                              np.asarray(f2.length)[i, :k])
+        assert np.abs(np.asarray(f1.start)[i, :k]
+                      - np.asarray(f2.start)[i, :k]).max(initial=0) <= 2
+
+
+@pytest.mark.slow
 def test_fused_pipeline_device_crc_filter():
     """device_crc compacts only CRC-passing frames on device; rejects
     land in the crcfail counter so BatchPipeline counters match the
