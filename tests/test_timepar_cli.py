@@ -120,3 +120,44 @@ def test_mono_mesh_wrong_crc_and_size_counters(tmp_path):
     assert cs["A"][1] >= 1, cs        # the injected wrong-CRC frame
     assert cp == cs, (cp, cs)
     assert par.stdout.splitlines() == seq.stdout.splitlines()
+
+
+def test_live_fifo_mesh_streaming(tmp_path):
+    """Live (FIFO) input through the meshshape streaming path: the CLI
+    consumes `-l <fifo>` block-by-block, TimeParSession chains the
+    super-blocks, and stdout + counters equal the sequential session's
+    file decode of the same bytes — the live scale-out seam the mesh
+    path was built for."""
+    import threading
+
+    rng = np.random.default_rng(53)
+    payloads = [E.random_payload(rng) for _ in range(8)]
+    audio = E.synthesize_capture(payloads, gap_bits=600)
+    noisy = np.clip(audio + rng.normal(0, 200, len(audio)),
+                    -32768, 32767).astype(np.int16)
+    cap = tmp_path / "cap.raw"
+    noisy.tofile(cap)
+
+    seq = _run_cli(f"soundchannels mono\nsoundinfile {cap}\n",
+                   tmp_path, "seq.conf")
+    assert seq.stdout.splitlines(), "fixture decoded nothing"
+
+    fifo = tmp_path / "live.fifo"
+    os.mkfifo(fifo)
+
+    def feed():
+        # writer blocks until the CLI opens the FIFO for reading
+        with open(fifo, "wb") as f:
+            f.write(noisy.astype("<i2").tobytes())
+
+    t = threading.Thread(target=feed)
+    t.start()
+    try:
+        par = _run_cli(
+            f"soundchannels mono\nmeshshape 1 8\ntimeparblock 6144\n"
+            f"soundinfile {fifo}\n", tmp_path, "live.conf")
+    finally:
+        t.join(timeout=10)
+    assert "Mesh decode: 1x8 devices" in par.stderr
+    assert par.stdout.splitlines() == seq.stdout.splitlines()
+    assert _counters(par.stderr) == _counters(seq.stderr)
