@@ -481,8 +481,12 @@ def run_decode(cfg: Config, out_stream=None) -> int:
                          name, r, l, l2)
     else:
         # time-parallel paths surface the same accounting as the
-        # sequential session (ais.c:296-310)
-        for name, (r, l, l2) in timepar_counters.items():
+        # sequential session (ais.c:296-310) — including the all-zero
+        # line for a channel that exists but never ran (left/right
+        # modes create both receivers, ais.c:139-149)
+        names = ("A",) if nch_cfg == 1 else ("A", "B")
+        for name in names:
+            r, l, l2 = timepar_counters.get(name, (0, 0, 0))
             log.info("%s: Received correctly: %d packets, "
                      "wrong CRC: %d packets, wrong size: %d packets",
                      name, r, l, l2)

@@ -161,3 +161,20 @@ def test_live_fifo_mesh_streaming(tmp_path):
     assert "Mesh decode: 1x8 devices" in par.stderr
     assert par.stdout.splitlines() == seq.stdout.splitlines()
     assert _counters(par.stderr) == _counters(seq.stderr)
+
+
+def test_left_right_channel_modes_through_lanes(tmp_path):
+    """`soundchannels left`/`right` select one channel of a stereo
+    capture (ais.c:236-248 routing); the lane decode must reproduce
+    the sequential session's stdout and counters for both modes."""
+    rng = np.random.default_rng(59)
+    cap = _stereo_capture(tmp_path, rng, n_a=5, n_b=5)
+    for mode in ("left", "right"):
+        seq = _run_cli(f"soundchannels {mode}\nsoundinfile {cap}\n",
+                       tmp_path, f"seq_{mode}.conf")
+        assert seq.stdout.splitlines(), (mode, "decoded nothing")
+        par = _run_cli(
+            f"soundchannels {mode}\nstreams 4\nsoundinfile {cap}\n",
+            tmp_path, f"par_{mode}.conf")
+        assert par.stdout.splitlines() == seq.stdout.splitlines(), mode
+        assert _counters(par.stderr) == _counters(seq.stderr), mode
