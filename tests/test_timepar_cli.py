@@ -178,3 +178,25 @@ def test_left_right_channel_modes_through_lanes(tmp_path):
             tmp_path, f"par_{mode}.conf")
         assert par.stdout.splitlines() == seq.stdout.splitlines(), mode
         assert _counters(par.stderr) == _counters(seq.stderr), mode
+
+
+def test_wav_input_through_lanes(tmp_path):
+    """WAV captures (the non-memmappable input form) decode through
+    the lane path identically to the sequential session."""
+    from gnuais_tpu.io.audio import write_wav
+
+    rng = np.random.default_rng(67)
+    audio = E.synthesize_capture([E.random_payload(rng) for _ in range(5)],
+                                 gap_bits=500)
+    noisy = np.clip(audio + rng.normal(0, 200, len(audio)),
+                    -32768, 32767).astype(np.int16)
+    cap = tmp_path / "cap.wav"
+    write_wav(cap, noisy)
+
+    seq = _run_cli(f"soundchannels mono\nsoundinfile {cap}\n",
+                   tmp_path, "seq.conf")
+    assert seq.stdout.splitlines(), "fixture decoded nothing"
+    par = _run_cli(f"soundchannels mono\nstreams 4\nsoundinfile {cap}\n",
+                   tmp_path, "par.conf")
+    assert par.stdout.splitlines() == seq.stdout.splitlines()
+    assert _counters(par.stderr) == _counters(seq.stderr)
