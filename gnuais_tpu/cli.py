@@ -176,6 +176,12 @@ def _mesh_decode(cfg: Config, chans, nch: int, block_iter, dispatcher,
     s_ax, t_ax = (tuple(cfg.meshshape) + (1, 1))[:2]
     n_rows = len(chans)
     s_rows = -(-n_rows // s_ax) * s_ax     # zero-pad rows to shardable S
+    if s_rows > n_rows:
+        log.warning(
+            "meshshape streams axis (%d) exceeds the %d channel row(s): "
+            "%d mesh rows idle — prefer a deeper time axis (meshshape "
+            "%d %d)", s_ax, n_rows, s_rows - n_rows, n_rows,
+            s_ax * t_ax // max(n_rows, 1))
     t_loc = max(4096, -(-cfg.timepar_block // 512) * 512)
     sb = t_ax * t_loc
     sess = TimeParSession(
