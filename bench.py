@@ -130,14 +130,19 @@ def run_bench(n_streams: int = 256, block_len: int = 49_152,
         # device_crc filters frame candidates on device so only
         # CRC-passing frames drain; superblock > 1 chains that many
         # blocks through ONE dispatch (lax.scan on device)
+        # assume_full: the bench always dispatches full blocks
+        # (n_valid == T), so the kernel's per-sample valid gates are
+        # compiled out (bit-identical for full blocks, tested)
         if superblock > 1:
             return pl.decode_superblock(x, nv, c, superblock,
                                         frame_slots=32, exact_fir=True,
                                         fused_pipeline=fast,
-                                        device_crc=device_crc, **kflags)
+                                        device_crc=device_crc,
+                                        assume_full=fast, **kflags)
         return pl.decode_block(x, nv, c, frame_slots=32,
                                exact_fir=True, fused_pipeline=fast,
-                               device_crc=device_crc, **kflags)
+                               device_crc=device_crc,
+                               assume_full=fast, **kflags)
 
     # compile + correctness check: counts AND a CRC-verified drain (a
     # count check alone would miss corrupted frame payload words — the
@@ -172,11 +177,20 @@ def run_bench(n_streams: int = 256, block_len: int = 49_152,
     dt = sorted(times)[len(times) // 2]
     sps = n_streams * block_len * superblock / dt
 
-    extra = {}
+    extra = {"mode": {
+        "fir": "lobe" if lobe_fir else "exact",
+        "sublanes": sublanes, "superblock": superblock,
+        "n_streams": n_streams,
+        # lobe FIR is a packet-parity-gated throughput mode (the
+        # byte-parity CLI paths always use the exact FIR); the per-
+        # iteration count check above plus the CRC drain gate this run
+        "bit_exact_fir": not lobe_fir,
+    }}
     if scaling:
-        extra = _measure_scaling(sps, n_streams, block_len, iters,
-                                 fast, device_crc, xj, nv, superblock,
-                                 kflags)
+        extra.update(_measure_scaling(
+            step, bufs, wants, n_streams, block_len, superblock, iters,
+            kflags={**kflags, "assume_full": fast}, fast=fast,
+            device_crc=device_crc))
         extra.update(_measure_timepar())
     return sps, extra
 
@@ -246,15 +260,26 @@ def _measure_timepar(n_samples: int = 100_000_000):
         return {}
 
 
-def _measure_scaling(sps_1chip, n_streams, block_len, iters, fast,
-                     device_crc, xj, nv, superblock=1, kflags=None):
+def _measure_scaling(step, bufs, wants, n_streams, block_len,
+                     superblock=1, iters=8, kflags=None,
+                     frame_slots=32, fast=True, device_crc=False):
     """BASELINE.md asks for samples/s/chip at 1 and N chips.  This
     environment exposes ONE chip, so with n_devices == 1 the block is
     labeled ``single_chip_shard_overhead`` — the shard_map step vs the
     direct step on the SAME chip (an upper bound on per-chip sharding
     cost, NOT pod scaling).  With >1 real devices it reports genuine
-    N-chip parallel efficiency as ``scaling``."""
+    N-chip parallel efficiency as ``scaling``.
+
+    Protocol (round-4 fix for the BENCH_r03 0.819 artifact): the direct
+    step is RE-measured here, with direct and sharded dispatches
+    INTERLEAVED on the same buffers — tunnel drift between two phases
+    measured minutes apart cancels out, and no extra input copies are
+    created (the r03 scaling phase held ~9.7 GB of variants plus a
+    sharded device_put copy; the resulting HBM pressure, not shard_map,
+    produced the recorded 18 % "overhead" — re-measured paired at
+    1.001).  Every dispatch is count-verified per the main protocol."""
     import jax
+    import jax.numpy as jnp
 
     from gnuais_tpu.parallel import mesh as M
     from gnuais_tpu.parallel.sharded import make_sharded_decode
@@ -265,33 +290,50 @@ def _measure_scaling(sps_1chip, n_streams, block_len, iters, fast,
         return {}
     try:
         mesh = M.make_stream_mesh(n_dev)
-        fn = make_sharded_decode(mesh, frame_slots=32,
+        step_kflags = dict(kflags or {})
+        fn = make_sharded_decode(mesh, frame_slots=frame_slots,
                                  fused_pipeline=fast,
                                  device_crc=device_crc,
                                  superblock=superblock,
-                                 **(kflags or {}))
-        xs = jax.device_put(xj, M.stream_sharding(mesh))
-        carry = jax.device_put(pl.init_carry(n_streams),
-                               M.carry_sharding(mesh))
-        c, frames, _ = fn(xs, nv, carry)
-        jax.block_until_ready(frames)
-        want = int(np.asarray(frames.count).sum())
-        times = []
-        for _ in range(iters):
+                                 **step_kflags)
+        nv = jnp.int32(block_len * superblock)
+        if n_dev > 1:
+            # real multi-chip: inputs must live on the mesh
+            bufs = [jax.device_put(b, M.stream_sharding(mesh))
+                    for b in bufs]
+            cs = jax.device_put(pl.init_carry(n_streams),
+                                M.carry_sharding(mesh))
+        else:
+            # single chip: reuse the direct-path buffers as-is (a
+            # device_put copy here is what blew HBM in BENCH_r03)
+            cs = pl.init_carry(n_streams)
+        cd = pl.init_carry(n_streams)
+        # compile + verify both paths
+        cs, f, _ = fn(bufs[0], nv, cs)
+        assert int(np.asarray(f.count).sum()) == \
+            wants[0] * n_streams * superblock
+        td, ts = [], []
+        for k in range(iters):
+            x = bufs[k % len(bufs)]
+            want = wants[k % len(wants)] * n_streams * superblock
             t0 = time.time()
-            c, frames, _ = fn(xs, nv, c)
-            # per-dispatch sync + sanity: same protocol as the main
-            # loop (async-queue timing through the tunnel is a lie)
-            total = int(np.asarray(frames.count).sum())
-            times.append(time.time() - t0)
+            cd, f, _ = step(x, cd)
+            total = int(np.asarray(f.count).sum())   # sync + verify
+            td.append(time.time() - t0)
             assert total == want, (total, want)
-        dt = sorted(times)[len(times) // 2]
-        sps_n = n_streams * block_len * superblock / dt
+            t0 = time.time()
+            cs, f, _ = fn(x, nv, cs)
+            total = int(np.asarray(f.count).sum())
+            ts.append(time.time() - t0)
+            assert total == want, (total, want)
+        n = n_streams * block_len * superblock
+        dt_d = sorted(td)[len(td) // 2]
+        dt_s = sorted(ts)[len(ts) // 2]
         block = {
             "chips": n_dev,
-            "sps_1chip": round(sps_1chip, 1),
-            "sps_sharded": round(sps_n, 1),
-            "efficiency": round(sps_n / (n_dev * sps_1chip), 3),
+            "sps_1chip": round(n / dt_d, 1),
+            "sps_sharded": round(n / dt_s, 1),
+            "efficiency": round(dt_d / (n_dev * dt_s), 3),
         }
         key = "scaling" if n_dev > 1 else "single_chip_shard_overhead"
         return {key: block}
@@ -328,6 +370,31 @@ CONFIGS = [
 PER_CONFIG_TIMEOUT = 900.0
 
 
+def _run_tpu_tier():
+    """Run the on-silicon kernel-parity tier (`pytest -m tpu`) before
+    any measured config, so no round can report a flagship number from
+    kernels that were never parity-checked compiled-on-chip that
+    session (round-2's bf16 corruption is the precedent).  Returns a
+    dict for the bench JSON; a red tier aborts the bench."""
+    import re
+    import subprocess
+    env = dict(os.environ, GNUAIS_TEST_TPU="1")
+    try:
+        r = subprocess.run(
+            [sys.executable, "-m", "pytest", "-m", "tpu", "-q",
+             "tests/test_on_tpu.py", "-p", "no:cacheprovider"],
+            capture_output=True, text=True, timeout=1800, env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+    except subprocess.TimeoutExpired:
+        return {"error": "timeout", "failed": 1}
+    counts = {k: int(v) for v, k in re.findall(
+        r"(\d+) (passed|failed|skipped|error)", r.stdout)}
+    if r.returncode != 0 and not counts.get("failed"):
+        counts["failed"] = counts.get("failed", 0) or 1
+        counts["error"] = r.returncode
+    return counts
+
+
 def _run_config_subprocess(idx: int):
     import subprocess
     r = subprocess.run(
@@ -350,6 +417,17 @@ def main() -> int:
         print("SPS " + json.dumps({"sps": sps, "extra": extra}))
         return 0
 
+    # on-silicon kernel parity first: bench numbers from kernels that
+    # were never checked compiled-on-chip this session are worthless
+    tpu_tests = _run_tpu_tier()
+    if tpu_tests.get("failed"):
+        print(f"on-TPU test tier RED: {tpu_tests} — aborting bench",
+              file=sys.stderr)
+        print(json.dumps({"metric": "aggregate_decode_samples_per_sec",
+                          "value": 0.0, "unit": "samples/s",
+                          "vs_baseline": 0.0, "tpu_tests": tpu_tests}))
+        return 1
+
     sps = None
     extra = {}
     for idx, cfg in enumerate(CONFIGS):
@@ -369,8 +447,27 @@ def main() -> int:
         "value": round(sps, 1),
         "unit": "samples/s",
         "vs_baseline": round(sps / BASELINE_SAMPLES_PER_SEC, 2),
+        "tpu_tests": tpu_tests,
     }
     out.update(extra)
+
+    # if the headline config ran a parity-gated FIR mode (lobe), also
+    # record the fully BIT-EXACT kernel's throughput (advisor finding:
+    # the byte-parity CLI paths never use lobe FIR)
+    if extra.get("mode", {}).get("fir") != "exact":
+        for idx, cfg in enumerate(CONFIGS):
+            if not cfg.get("lobe_fir"):
+                try:
+                    sps_x, extra_x = _run_config_subprocess(idx)
+                    out["bit_exact"] = {
+                        "value": round(sps_x, 1),
+                        "mode": extra_x.get("mode", {}),
+                    }
+                except Exception as e:
+                    print(f"bit-exact config failed: {e!r}",
+                          file=sys.stderr)
+                break
+
     print(json.dumps(out))
     return 0
 

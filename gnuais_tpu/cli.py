@@ -171,28 +171,47 @@ def _mesh_decode(cfg: Config, chans, nch: int, block_iter, dispatcher,
     import jax
 
     from gnuais_tpu.parallel import mesh as M
-    from gnuais_tpu.parallel.timepar import TimeParSession
+    from gnuais_tpu.parallel.timepar import (GroupedTimeParSession,
+                                             TimeParSession)
 
     s_ax, t_ax = (tuple(cfg.meshshape) + (1, 1))[:2]
     n_rows = len(chans)
-    s_rows = -(-n_rows // s_ax) * s_ax     # zero-pad rows to shardable S
-    if s_rows > n_rows:
-        log.warning(
-            "meshshape streams axis (%d) exceeds the %d channel row(s): "
-            "%d mesh rows idle — prefer a deeper time axis (meshshape "
-            "%d %d)", s_ax, n_rows, s_rows - n_rows, n_rows,
-            s_ax * t_ax // max(n_rows, 1))
     t_loc = max(4096, -(-cfg.timepar_block // 512) * 512)
-    sb = t_ax * t_loc
-    sess = TimeParSession(
-        M.make_grid_mesh(s_ax, t_ax), s_rows, sb,
-        frame_slots=max(cfg.frameslots, 32),
-        fused_pipeline=jax.default_backend() == "tpu")
-    log.info("Mesh decode: %dx%d devices, %d-sample shards, "
-             "%d-sample super-blocks, %d channel row(s)",
-             s_ax, t_ax, t_loc, sb, n_rows)
+    sb_row = t_ax * t_loc
+    fused = jax.default_backend() == "tpu"
+    if s_ax > n_rows and s_ax % n_rows == 0:
+        # fewer channel rows than the streams axis: split each
+        # channel's super-block into `group` consecutive row segments
+        # (overlap-resync sequence parallelism along the streams axis)
+        # so every mesh row decodes real data — a mono capture on
+        # meshshape 4 2 gets 8 productive devices
+        group = s_ax // n_rows
+        sb = group * sb_row
+        sess = GroupedTimeParSession(
+            M.make_grid_mesh(s_ax, t_ax), n_rows, group, sb_row,
+            frame_slots=max(cfg.frameslots, 32), fused_pipeline=fused)
+        buf_rows = n_rows
+        log.info("Mesh decode: %dx%d devices, %d-sample shards, "
+                 "%d channel row(s) x %d row segments "
+                 "(%d-sample super-blocks)",
+                 s_ax, t_ax, t_loc, n_rows, group, sb)
+    else:
+        s_rows = -(-n_rows // s_ax) * s_ax   # zero-pad to shardable S
+        if s_rows > n_rows:
+            log.warning(
+                "meshshape streams axis (%d) does not divide into the "
+                "%d channel row(s): %d mesh rows idle",
+                s_ax, n_rows, s_rows - n_rows)
+        sb = sb_row
+        sess = TimeParSession(
+            M.make_grid_mesh(s_ax, t_ax), s_rows, sb,
+            frame_slots=max(cfg.frameslots, 32), fused_pipeline=fused)
+        buf_rows = s_rows
+        log.info("Mesh decode: %dx%d devices, %d-sample shards, "
+                 "%d-sample super-blocks, %d channel row(s)",
+                 s_ax, t_ax, t_loc, sb, n_rows)
 
-    buf = np.zeros((s_rows, sb), np.int16)
+    buf = np.zeros((buf_rows, sb), np.int16)
     state = {"fill": 0, "pushed": 0, "samples": 0}
 
     def drain(per_stream, idx):

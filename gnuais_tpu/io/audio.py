@@ -11,6 +11,7 @@ it exactly.
 from __future__ import annotations
 
 import io
+import os
 import struct
 import wave
 from pathlib import Path
@@ -81,6 +82,11 @@ def open_capture_lazy(path: Union[str, Path],
     read (header parsing owns the offset)."""
     p = str(path)
     if p.lower().endswith(".wav"):
+        return load_capture(p, channels)
+    if os.path.getsize(p) == 0:
+        # np.memmap raises ValueError on empty files, which the CLI's
+        # OSError handler would not catch; the eager reader returns an
+        # empty array and keeps the reference's clean error path
         return load_capture(p, channels)
     mm = np.memmap(p, dtype="<i2", mode="r")
     n = (len(mm) // channels) * channels

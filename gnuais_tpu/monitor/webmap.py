@@ -143,10 +143,14 @@ function pick(px,py){
   const el=document.getElementById('info');
   const s=ships.find(x=>x.mmsi===sel);
   if(s){ el.style.display='block';
-    el.innerHTML=`<b>${s.name||'(unnamed)'} </b> MMSI ${s.mmsi}`+
+    // name/destination arrive over RF / the NMEA socket and are
+    // attacker-controllable — HTML-escape before innerHTML insertion
+    const esc=t=>String(t).replace(/[&<>"']/g,
+      c=>({'&':'&amp;','<':'&lt;','>':'&gt;','"':'&quot;',"'":'&#39;'}[c]));
+    el.innerHTML=`<b>${esc(s.name||'(unnamed)')} </b> MMSI ${s.mmsi}`+
       `<br>${s.latitude.toFixed(5)}, ${s.longitude.toFixed(5)}`+
       `<br>SOG ${s.speed} kn · COG ${s.course}&deg; · HDG ${s.heading}`+
-      (s.destination?`<br>&rarr; ${s.destination}`:'')+
+      (s.destination?`<br>&rarr; ${esc(s.destination)}`:'')+
       `<br><small>type ${s.type} · seen ${new Date(
          s.last_seen*1000).toLocaleTimeString()}</small>`;
   } else el.style.display='none';

@@ -144,7 +144,8 @@ def make_multichip_step(mesh: Mesh, frame_slots: int = 32,
     """
     nt = mesh.shape["time"]
 
-    def body(samples, valid_end, global_base, prev_tail, next_head):
+    def body(samples, valid_end, global_base, prev_tail, next_head,
+             row_phase):
         s_loc, t_loc = samples.shape
         assert t_loc >= overlap and t_loc >= extension, \
             (t_loc, overlap, extension)
@@ -174,10 +175,15 @@ def make_multichip_step(mesh: Mesh, frame_slots: int = 32,
         # free-run phase at absolute position b is PLL_INC*b mod 2^16;
         # cold phase 0 loses frames that follow silent gaps longer than
         # the overlap.  Mod the base first so the product stays in i32.
-        pll0 = jnp.mod(C.PLL_INC * jnp.mod(base, 65536), 65536) \
-            .astype(jnp.int32)
+        # row_phase [s_loc]: per-row absolute phase offset — rows that
+        # carry SEGMENTS of one channel in local coordinates (the
+        # grouped mesh session) pass PLL_INC * row_abs_base mod 2^16 so
+        # the free-run grid init matches the channel-absolute phase;
+        # independent-stream callers pass zeros.
+        pll0 = jnp.mod(C.PLL_INC * jnp.mod(base, 65536) + row_phase,
+                       65536).astype(jnp.int32)
         carry0 = carry0._replace(dpll=carry0.dpll._replace(
-            pll=jnp.full((s_loc,), 0, jnp.int32) + pll0))
+            pll=jnp.zeros((s_loc,), jnp.int32) + pll0))
         # lost2 position gate: wrong-size stops are scalar-counted (no
         # slot/dedup machinery), so each shard counts only events whose
         # stop position lies in its margin-free own region — the regions
@@ -207,7 +213,7 @@ def make_multichip_step(mesh: Mesh, frame_slots: int = 32,
     sharded = jax.shard_map(
         body, mesh=mesh,
         in_specs=(P("streams", "time"), P(), P(),
-                  P("streams", None), P("streams", None)),
+                  P("streams", None), P("streams", None), P("streams")),
         out_specs=(P("streams", "time", None), P("streams", "time"),
                    P("streams", "time"), P("streams", "time"),
                    P("streams", "time"), P("streams", "time"),
@@ -215,13 +221,22 @@ def make_multichip_step(mesh: Mesh, frame_slots: int = 32,
         check_vma=False,
     )
 
-    def step(samples, valid_end, global_base, prev_tail, next_head):
+    @functools.partial(jax.jit, static_argnames=())
+    def _stepj(samples, valid_end, global_base, prev_tail, next_head,
+               row_phase):
         w, l, st, en, cnt, l2, pk = sharded(samples, valid_end,
                                             global_base, prev_tail,
-                                            next_head)
+                                            next_head, row_phase)
         return TimeParFrames(w, l, st, en, cnt, l2, pk)
 
-    return jax.jit(step)
+    def step(samples, valid_end, global_base, prev_tail, next_head,
+             row_phase=None):
+        if row_phase is None:
+            row_phase = jnp.zeros((samples.shape[0],), jnp.int32)
+        return _stepj(samples, valid_end, global_base, prev_tail,
+                      next_head, row_phase)
+
+    return step
 
 
 def dedup_by_start(seq: List[tuple],
@@ -244,7 +259,8 @@ def dedup_by_start(seq: List[tuple],
 def drain_timepar_frames(tp: TimeParFrames, frame_slots: int,
                          prev_starts: List[int] | None = None,
                          with_stats: bool = False,
-                         prev_bad_starts: List[int] | None = None):
+                         prev_bad_starts: List[int] | None = None,
+                         raw: bool = False):
     """Host drain of a TimeParFrames: per stream, CRC-passing frames as
     (absolute_start, absolute_end, Frame) ordered by start position,
     boundary duplicates removed.  ``end`` is the stop-flag sample — the
@@ -256,7 +272,13 @@ def drain_timepar_frames(tp: TimeParFrames, frame_slots: int,
 
     with_stats=True additionally returns per-stream deduped wrong-CRC
     frame counts (the reference's lostframes, ais.c:296-310);
-    ``prev_bad_starts`` chains their dedup across super-blocks."""
+    ``prev_bad_starts`` chains their dedup across super-blocks.
+
+    raw=True returns the UN-deduped per-stream lists instead:
+    (ok_lists, bad_start_lists) — for callers (the grouped mesh
+    session) that merge several rows of the same logical channel and
+    must dedup across the row seams themselves (dedup_by_start is
+    idempotent, so double-deduping the interior is harmless)."""
     words = np.asarray(tp.words)
     length = np.asarray(tp.length)
     start = np.asarray(tp.start)
@@ -301,6 +323,8 @@ def drain_timepar_frames(tp: TimeParFrames, frame_slots: int,
                     else:
                         bad[stream].append(
                             (int(start[stream, base + k]),))
+    if raw:
+        return out, bad
     kept = [dedup_by_start(lst, prev_starts[i] if prev_starts else None)
             for i, lst in enumerate(out)]
     if not with_stats:

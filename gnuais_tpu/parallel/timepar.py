@@ -332,3 +332,195 @@ class TimeParSession:
                                  np.int16), end)
         self._held = None
         return out
+
+
+class GroupedTimeParSession:
+    """Mesh composition for channel counts below the ``streams`` axis:
+    no idle rows.
+
+    A mono capture on ``meshshape 4 2`` used to zero-pad three stream
+    rows (3/4 of the mesh decoding zeros).  Here each channel's
+    super-block is instead split into ``group`` consecutive row
+    SEGMENTS mapped onto those rows — overlap-resync sequence
+    parallelism along the streams axis, composed with the 2-D step's
+    time-axis sharding.  The step itself is unchanged: a row segment's
+    lead overlap and tail extension are exactly the per-row
+    ``prev_tail``/``next_head`` inputs ``make_multichip_step`` already
+    takes, and within one push they come straight from the neighboring
+    row's samples on the host.  Only the LAST row of a channel group
+    needs the successor super-block's head — the same
+    one-super-block-held latency the ungrouped session already pays.
+
+    Positions: the step runs in LOCAL row coordinates (global_base=0 —
+    every row has identical window geometry, so ownership and the
+    lost2 position gate stay exact); the host drain offsets each row's
+    starts by its absolute segment base and merges the rows per
+    channel, deduping boundary duplicates by proximity exactly like
+    time-shard seams (sharded.dedup_by_start, chained across pushes).
+
+    The FINAL held block (where real data may end mid-row, which a
+    scalar valid_end cannot express per row) is decoded through the
+    row-padded fallback: ``group`` sequential mini-pushes of one row
+    segment per channel with exact absolute valid_end — identical
+    machinery, exact EOF masking, so counters match the sequential
+    chain everywhere.
+    """
+
+    def __init__(self, mesh, n_channels: int, group: int,
+                 sb_row: int, frame_slots: int = 32,
+                 overlap: int = DEFAULT_OVERLAP,
+                 extension: int = DEFAULT_EXTENSION,
+                 **step_kwargs):
+        from gnuais_tpu.parallel import sharded as sh
+        self._sh = sh
+        self.n_channels = n_channels
+        self.group = group
+        self.sb_row = sb_row
+        self.super_block = group * sb_row     # per channel, per push
+        self.n_rows = n_channels * group
+        self.frame_slots = frame_slots
+        self.overlap = overlap
+        self.extension = extension
+        self.step = sh.make_multichip_step(
+            mesh, frame_slots=frame_slots, overlap=overlap,
+            extension=extension, **step_kwargs)
+        self._held: Optional[np.ndarray] = None   # [n_ch, group*sb_row]
+        self._held_base = 0                        # abs channel sample
+        self._base = 0
+        # per-CHANNEL chains and counters
+        self._prev_tail_ch = np.zeros((n_channels, overlap), np.int16)
+        self._last_starts: List[int] = [-(10 ** 9)] * n_channels
+        self._last_bad: List[int] = [-(10 ** 9)] * n_channels
+        self.received = [0] * n_channels
+        self.wrong_crc = [0] * n_channels
+        self.wrong_size = [0] * n_channels
+
+    def _drain_grouped(self, tp, base: int):
+        """Offset each row's local frames to channel-absolute positions,
+        merge the rows of each channel in segment order, dedup across
+        row seams and pushes, update counters."""
+        ok_rows, bad_rows = self._sh.drain_timepar_frames(
+            tp, self.frame_slots, raw=True)
+        lost2 = np.asarray(tp.lost2).sum(axis=1)
+        out = []
+        for ci in range(self.n_channels):
+            merged = []
+            merged_bad = []
+            l2 = 0
+            for r in range(self.group):
+                row = ci * self.group + r
+                off = base + r * self.sb_row
+                merged += [(off + st, off + en, fr)
+                           for st, en, fr in ok_rows[row]]
+                merged_bad += [(off + st,) for (st,) in bad_rows[row]]
+                l2 += int(lost2[row])
+            kept = self._sh.dedup_by_start(merged, self._last_starts[ci])
+            bad_kept = self._sh.dedup_by_start(merged_bad,
+                                               self._last_bad[ci])
+            if kept:
+                self._last_starts[ci] = kept[-1][0]
+            if bad_kept:
+                self._last_bad[ci] = bad_kept[-1][0]
+            self.received[ci] += len(kept)
+            self.wrong_crc[ci] += len(bad_kept)
+            self.wrong_size[ci] += l2
+            out.append(kept)
+        return out
+
+    def _run_grouped(self, block: np.ndarray, base: int,
+                     next_first_head: np.ndarray):
+        """Full grouped push: every row fully valid, extensions real."""
+        g, sbr, ov, ext = (self.group, self.sb_row, self.overlap,
+                           self.extension)
+        rows = block.reshape(self.n_channels * g, sbr)
+        prev_tail = np.empty((self.n_rows, ov), np.int16)
+        next_head = np.empty((self.n_rows, ext), np.int16)
+        for ci in range(self.n_channels):
+            for r in range(g):
+                row = ci * g + r
+                prev_tail[row] = (rows[row - 1, -ov:] if r > 0
+                                  else self._prev_tail_ch[ci])
+                next_head[row] = (rows[row + 1, :ext] if r < g - 1
+                                  else next_first_head[ci])
+        # per-row absolute phase offsets: local coordinates hide each
+        # segment's true position from the step's grid-phase DPLL init
+        row_abs = (base + np.tile(np.arange(g, dtype=np.int64) * sbr,
+                                  self.n_channels))
+        phase = jnp.asarray((C.PLL_INC * (row_abs % 65536)) % 65536,
+                            dtype=jnp.int32)
+        tp = self.step(jnp.asarray(rows), jnp.int32(sbr + ext),
+                       jnp.int32(0), jnp.asarray(prev_tail),
+                       jnp.asarray(next_head), row_phase=phase)
+        out = self._drain_grouped(tp, base)
+        self._prev_tail_ch = np.asarray(
+            rows[np.arange(self.n_channels) * g + (g - 1), -ov:])
+        return out
+
+    def _run_fallback(self, block: np.ndarray, base: int, n_valid: int):
+        """Final held block: ``group`` sequential row-padded mini-pushes
+        with exact absolute valid_end (data may end mid-row)."""
+        g, sbr, ov, ext = (self.group, self.sb_row, self.overlap,
+                           self.extension)
+        data_end = base + n_valid
+        out = [[] for _ in range(self.n_channels)]
+        prev_tail = np.zeros((self.n_rows, ov), np.int16)
+        for r in range(g):
+            seg_base = base + r * sbr
+            if seg_base >= data_end and r > 0:
+                break
+            seg = np.zeros((self.n_rows, sbr), np.int16)
+            head = np.zeros((self.n_rows, ext), np.int16)
+            for ci in range(self.n_channels):
+                seg[ci] = block[ci, r * sbr:(r + 1) * sbr]
+                if r < g - 1:
+                    head[ci] = block[ci, (r + 1) * sbr:
+                                     (r + 1) * sbr + ext]
+                prev_tail[ci] = (block[ci, r * sbr - ov:r * sbr]
+                                 if r > 0 else self._prev_tail_ch[ci])
+            tp = self.step(jnp.asarray(seg),
+                           jnp.int32(min(data_end, seg_base + sbr + ext)),
+                           jnp.int32(seg_base), jnp.asarray(prev_tail),
+                           jnp.asarray(head))
+            ok_rows, bad_rows = self._sh.drain_timepar_frames(
+                tp, self.frame_slots, raw=True)
+            lost2 = np.asarray(tp.lost2).sum(axis=1)
+            for ci in range(self.n_channels):
+                kept = self._sh.dedup_by_start(ok_rows[ci],
+                                               self._last_starts[ci])
+                bad_kept = self._sh.dedup_by_start(
+                    bad_rows[ci], self._last_bad[ci])
+                if kept:
+                    self._last_starts[ci] = kept[-1][0]
+                if bad_kept:
+                    self._last_bad[ci] = bad_kept[-1][0]
+                self.received[ci] += len(kept)
+                self.wrong_crc[ci] += len(bad_kept)
+                self.wrong_size[ci] += int(lost2[ci])
+                out[ci] += kept
+            for ci in range(self.n_channels):
+                self._prev_tail_ch[ci] = seg[ci, -ov:]
+        return out
+
+    def push(self, samples: np.ndarray):
+        """samples: int16 [n_channels, group*sb_row].  Returns the
+        PREVIOUS super-block's per-channel (start, end, Frame) lists,
+        or None for the first push."""
+        s, t = samples.shape
+        assert s == self.n_channels and t == self.super_block, (s, t)
+        out = None
+        if self._held is not None:
+            next_first_head = np.asarray(samples[:, :self.extension])
+            out = self._run_grouped(self._held, self._held_base,
+                                    next_first_head)
+        self._held = np.asarray(samples, dtype=np.int16)
+        self._held_base = self._base
+        self._base += t
+        return out
+
+    def flush(self, n_valid: Optional[int] = None):
+        if self._held is None:
+            return [[] for _ in range(self.n_channels)]
+        nv = n_valid if n_valid is not None else self._held.shape[1]
+        out = self._run_fallback(self._held, self._held_base, nv)
+        self._held = None
+        return out

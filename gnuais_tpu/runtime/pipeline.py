@@ -48,7 +48,8 @@ def init_dpll(n_streams: int):
                                     "fused_frontend", "fused_pipeline",
                                     "device_crc", "mxu_fir", "lobe_fir",
                                     "kernel_sublanes", "kernel_unroll",
-                                    "kernel_time_chunk", "with_peak"))
+                                    "kernel_time_chunk", "with_peak",
+                                    "assume_full"))
 def decode_block(samples: jax.Array, n_valid: jax.Array,
                  carry: PipelineCarry, frame_slots: int = 32,
                  exact_fir: bool = True, fast_dpll: bool = False,
@@ -62,6 +63,7 @@ def decode_block(samples: jax.Array, n_valid: jax.Array,
                  kernel_unroll: int = 32,
                  kernel_time_chunk: int = 512,
                  with_peak: bool = True,
+                 assume_full: bool = False,
                  lost2_lo: jax.Array | None = None,
                  lost2_hi: jax.Array | None = None
                  ) -> Tuple[PipelineCarry, demod.FrameBatch, jax.Array]:
@@ -99,7 +101,10 @@ def decode_block(samples: jax.Array, n_valid: jax.Array,
                       "lobe" if lobe_fir else "vpu"),
             lost2_lo=lost2_lo, lost2_hi=lost2_hi,
             sublanes=kernel_sublanes, unroll=kernel_unroll,
-            time_chunk=kernel_time_chunk)
+            time_chunk=kernel_time_chunk,
+            # static promise n_valid == T (throughput callers only):
+            # compiles the per-sample valid gates out of the hot loop
+            assume_full=assume_full)
         frames = demod.compact_candidates(
             demod.init_frames(samples.shape[0], frame_slots),
             cand_valid, cw, cl, cs, ce, lost2=lost2, over=over)
@@ -164,7 +169,7 @@ def decode_block(samples: jax.Array, n_valid: jax.Array,
                                     "fused_pipeline", "device_crc",
                                     "mxu_fir", "lobe_fir", "kernel_sublanes",
                                     "kernel_unroll", "kernel_time_chunk",
-                                    "with_peak"))
+                                    "with_peak", "assume_full"))
 def decode_superblock(samples: jax.Array, n_valid: jax.Array,
                       carry: PipelineCarry, n_blocks: int,
                       frame_slots: int = 32,

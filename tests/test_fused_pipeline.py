@@ -50,6 +50,42 @@ def _carry_equal(a, b):
         assert np.array_equal(np.asarray(x), np.asarray(y))
 
 
+def test_fused_pipeline_default_tier_parity():
+    """Default-tier guard: one full frame through the fused kernel vs
+    the exact chain, bit-exact (frames, counters, carries).  The wide
+    interpret-mode shapes live in `-m slow`; this small shape keeps a
+    plain `pytest` run from silently skipping every fused-kernel parity
+    check (advisor round-3 medium finding)."""
+    s, t = 4, 2560
+    x = _noisy_batch(s, t, n_payloads=1, gap_bits=8)
+    c0 = init_carry(s)
+    c1, f1, p1 = decode_block(jnp.asarray(x), jnp.int32(t), c0,
+                              frame_slots=8)
+    c2, f2, p2 = decode_block(jnp.asarray(x), jnp.int32(t), c0,
+                              frame_slots=8, fused_pipeline=True)
+    assert (np.asarray(f1.count) == 1).all()
+    _frames_equal(f1, f2)
+    _carry_equal(c1, c2)
+    assert np.array_equal(np.asarray(p1), np.asarray(p2))
+
+
+def test_fused_pipeline_assume_full_bitexact():
+    """assume_full=True (static n_valid == T promise: valid gates
+    compiled out) must be bit-identical to the general kernel on a full
+    block."""
+    s, t = 4, 2560
+    x = _noisy_batch(s, t, n_payloads=1, gap_bits=8)
+    c0 = init_carry(s)
+    c1, f1, _ = decode_block(jnp.asarray(x), jnp.int32(t), c0,
+                             frame_slots=8, fused_pipeline=True)
+    c2, f2, _ = decode_block(jnp.asarray(x), jnp.int32(t), c0,
+                             frame_slots=8, fused_pipeline=True,
+                             assume_full=True)
+    assert (np.asarray(f1.count) == 1).all()
+    _frames_equal(f1, f2)
+    _carry_equal(c1, c2)
+
+
 @pytest.mark.slow
 def test_fused_pipeline_matches_exact_bitexact():
     s, t = 8, 2048

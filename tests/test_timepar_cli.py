@@ -122,6 +122,62 @@ def test_mono_mesh_wrong_crc_and_size_counters(tmp_path):
     assert par.stdout.splitlines() == seq.stdout.splitlines()
 
 
+def test_mono_grouped_mesh_fills_idle_rows(tmp_path):
+    """meshshape 4 2 with a MONO capture: the grouped session splits
+    the channel's super-block into 4 row segments so every mesh row
+    decodes real data (no idle rows, no warning); stdout and all three
+    counters equal the sequential session — across multiple pushes AND
+    the partial final block (the row-padded fallback flush)."""
+    rng = np.random.default_rng(71)
+    payloads = [E.random_payload(rng) for _ in range(36)]
+    audio = E.synthesize_capture(payloads, gap_bits=500)
+    # one injected wrong-CRC frame exercises the bad-frame dedup across
+    # row seams too: compute frame 5's exact mid-payload sample from
+    # the encoder's bit layout (lead_in + frames + gaps are contiguous)
+    audio = audio.copy()
+    bit = 64 + sum(len(E.frame_line_bits(p)) + 500 for p in payloads[:5])
+    cell = (bit + 200) * 5
+    audio[cell:cell + 5] = -audio[cell:cell + 5]
+    noisy = np.clip(audio + rng.normal(0, 200, len(audio)),
+                    -32768, 32767).astype(np.int16)
+    # not a multiple of the 32768-sample grouped super-block -> the
+    # final push takes the exact-valid_end fallback path
+    assert len(noisy) % 32768 != 0
+    cap = tmp_path / "mono.raw"
+    noisy.tofile(cap)
+
+    seq = _run_cli(f"soundchannels mono\nsoundinfile {cap}\n",
+                   tmp_path, "seq.conf")
+    par = _run_cli(
+        f"soundchannels mono\nmeshshape 4 2\ntimeparblock 4096\n"
+        f"soundinfile {cap}\n", tmp_path, "mesh.conf")
+    assert "x 4 row segments" in par.stderr     # grouped layout engaged
+    assert "idle" not in par.stderr             # warning gone
+    assert seq.stdout.splitlines(), "fixture decoded nothing"
+    assert par.stdout.splitlines() == seq.stdout.splitlines()
+    cs, cp = _counters(seq.stderr), _counters(par.stderr)
+    assert cs["A"][1] >= 1, cs                  # injected wrong-CRC seen
+    assert cp == cs, (cp, cs)
+
+
+def test_stereo_grouped_mesh_two_segments_per_channel(tmp_path):
+    """meshshape 4 2 with a STEREO capture: two channels x two row
+    segments each — the grouped path under multi-channel interleaving
+    must keep stdout (A/B emission ordering) and counters exact."""
+    rng = np.random.default_rng(73)
+    cap = _stereo_capture(tmp_path, rng, n_a=10, n_b=10)
+
+    seq = _run_cli(f"soundchannels both\nsoundinfile {cap}\n",
+                   tmp_path, "seq.conf")
+    par = _run_cli(
+        f"soundchannels both\nmeshshape 4 2\ntimeparblock 4096\n"
+        f"soundinfile {cap}\n", tmp_path, "mesh.conf")
+    assert "x 2 row segments" in par.stderr
+    assert seq.stdout.splitlines(), "fixture decoded nothing"
+    assert par.stdout.splitlines() == seq.stdout.splitlines()
+    assert _counters(par.stderr) == _counters(seq.stderr)
+
+
 def test_live_fifo_mesh_streaming(tmp_path):
     """Live (FIFO) input through the meshshape streaming path: the CLI
     consumes `-l <fifo>` block-by-block, TimeParSession chains the

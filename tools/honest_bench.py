@@ -37,6 +37,7 @@ def main():
         elif a.startswith("TC="): flags["kernel_time_chunk"] = int(a[3:])
         elif a == "NP": flags["with_peak"] = False
         elif a == "crc": flags["device_crc"] = True
+        elif a == "AF": flags["assume_full"] = True
         elif a.startswith("S="): S = int(a[2:])
         elif a.startswith("T="): T = int(a[2:])
         elif a.startswith("SB="): SB = int(a[3:])
