@@ -140,6 +140,7 @@ class _TimeParDispatcher:
         self.on_message = on_message
         self.bf = block_frames or audio_io.reference_block_frames()
         self.pending = []         # (file_block, ch_idx, end, Frame)
+        self.emitted_lines = 0    # stdout lines dispatched so far
 
     def add(self, ch_idx: int, items) -> None:
         """items: iterable of (start, end, Frame), CRC-passing."""
@@ -158,7 +159,30 @@ class _TimeParDispatcher:
             msg = self.disp[ci].dispatch(fr.payload_bits, fr.bufferlen)
             if msg is not None:
                 self.on_message(msg)
+                if msg.stdout_line:
+                    self.emitted_lines += 1
         self.pending = keep
+
+    # checkpoint support: the not-yet-released frame queue and the
+    # per-channel NMEA seqnr (protodec.c:922-926) are part of the
+    # resumable state; emitted_lines lets a resume consumer splice the
+    # interrupted run's output exactly at the snapshot point
+    def snapshot(self) -> dict:
+        return {
+            "pending": [(blk, ci, en, fr.payload_bits, fr.bufferlen)
+                        for blk, ci, en, fr in self.pending],
+            "seqnr": [d.seqnr for d in self.disp],
+            "emitted_lines": self.emitted_lines,
+        }
+
+    def restore(self, st: dict) -> None:
+        from gnuais_tpu.golden.model import Frame
+        self.pending = [(int(blk), int(ci), int(en),
+                         Frame(np.asarray(bits), int(blen), True))
+                        for blk, ci, en, bits, blen in st["pending"]]
+        for d, s in zip(self.disp, st["seqnr"]):
+            d.seqnr = int(s)
+        self.emitted_lines = int(st["emitted_lines"])
 
 
 def _mesh_decode(cfg: Config, chans, nch: int, block_iter, dispatcher,
@@ -212,7 +236,51 @@ def _mesh_decode(cfg: Config, chans, nch: int, block_iter, dispatcher,
                  s_ax, t_ax, t_loc, sb, n_rows)
 
     buf = np.zeros((buf_rows, sb), np.int16)
-    state = {"fill": 0, "pushed": 0, "samples": 0}
+    state = {"fill": 0, "pushed": 0, "samples": 0, "skip": 0}
+
+    # --- checkpoint/resume for the streaming mesh path (SURVEY §5):
+    # the session's cross-push state + the dispatcher's pending queue
+    # are snapshotted atomically at push boundaries; a resume skips the
+    # consumed input samples and continues byte-identically from the
+    # snapshot point (the decode is deterministic).
+    ckpt = f"{cfg.checkpoint}.mesh.npz" if cfg.checkpoint else None
+    # checkpoint_every is calibrated in reference file blocks (~1020
+    # frames, the sequential path's unit); one mesh push consumes a
+    # whole super-block, so convert to pushes at the same sample cadence
+    ckpt_every = max(1, ((cfg.checkpoint_every or 1)
+                         * audio_io.reference_block_frames()) // sb)
+    layout = [s_ax, t_ax, sb, buf_rows, nch]
+    if ckpt and os.path.exists(ckpt):
+        try:
+            data = np.load(ckpt, allow_pickle=True)
+            meta = data["meta"].item()
+            if meta["layout"] != layout:
+                log.warning("Mesh checkpoint layout mismatch %s != %s: "
+                            "starting fresh", meta["layout"], layout)
+            else:
+                sess.restore(data["sess"].item())
+                dispatcher.restore(data["disp"].item())
+                state["pushed"] = int(meta["pushed"])
+                state["skip"] = int(meta["consumed"])
+                state["samples"] = int(meta["consumed"])
+                log.info("Resuming mesh decode from checkpoint: "
+                         "skipping %d samples/channel", state["skip"])
+        except Exception as e:
+            log.warning("Could not load mesh checkpoint %s: %s",
+                        ckpt, e)
+
+    def save_ckpt():
+        if not ckpt or state["pushed"] % ckpt_every:
+            return
+        meta = {"layout": layout, "pushed": state["pushed"],
+                "consumed": state["pushed"] * sb,
+                "emitted_lines": dispatcher.emitted_lines}
+        tmp = ckpt + ".tmp"
+        with open(tmp, "wb") as f:
+            np.savez(f, meta=np.array(meta, dtype=object),
+                     sess=np.array(sess.snapshot(), dtype=object),
+                     disp=np.array(dispatcher.snapshot(), dtype=object))
+        os.replace(tmp, ckpt)
 
     def drain(per_stream, idx):
         if per_stream is None:
@@ -227,6 +295,7 @@ def _mesh_decode(cfg: Config, chans, nch: int, block_iter, dispatcher,
         state["pushed"] += 1
         state["fill"] = 0
         buf[:] = 0
+        save_ckpt()
 
     for block in block_iter:
         if tee:
@@ -234,6 +303,12 @@ def _mesh_decode(cfg: Config, chans, nch: int, block_iter, dispatcher,
         nf = len(block) // nch
         state["samples"] += nf
         off = 0
+        if state["skip"] > 0:
+            # resume: discard input a previous run already consumed
+            sk = min(state["skip"], nf)
+            state["skip"] -= sk
+            state["samples"] -= sk        # already counted at restore
+            off = sk
         while off < nf:
             take = min(sb - state["fill"], nf - off)
             f0 = state["fill"]
@@ -254,6 +329,8 @@ def _mesh_decode(cfg: Config, chans, nch: int, block_iter, dispatcher,
         out = sess.flush(n_valid=last_valid)
         drain(out, state["pushed"] - 1)
     dispatcher.emit_until(None)
+    if ckpt and os.path.exists(ckpt):
+        os.remove(ckpt)          # complete: a rerun starts fresh
 
     counters = {name: (sess.received[ci], sess.wrong_crc[ci],
                        sess.wrong_size[ci])

@@ -303,6 +303,25 @@ class TimeParSession:
         self._prev_tail = np.asarray(block[:, -self.overlap:])
         return per_stream
 
+    # --- checkpoint/resume (SURVEY §5): the session's cross-push state
+    # is small and explicit — snapshot after any push boundary and a
+    # restored session continues byte-identically (the decode itself is
+    # deterministic; dedup chains and counters are part of the state).
+    _SNAP_KEYS = ("_held", "_held_base", "_prev_tail", "_base",
+                  "_last_starts", "_last_bad", "received", "wrong_crc",
+                  "wrong_size")
+
+    def snapshot(self) -> dict:
+        return {k: getattr(self, k) for k in self._SNAP_KEYS}
+
+    def restore(self, state: dict) -> None:
+        for k in self._SNAP_KEYS:
+            v = state[k]
+            if isinstance(getattr(self, k, None), list) \
+                    and not isinstance(v, list):
+                v = list(np.asarray(v).ravel())
+            setattr(self, k, v)
+
     def push(self, samples: np.ndarray):
         """samples: int16 [S, super_block].  Returns the PREVIOUS
         super-block's per-stream (start, Frame) lists, or None for the
@@ -500,6 +519,13 @@ class GroupedTimeParSession:
             for ci in range(self.n_channels):
                 self._prev_tail_ch[ci] = seg[ci, -ov:]
         return out
+
+    # checkpoint/resume: same contract as TimeParSession.snapshot
+    _SNAP_KEYS = ("_held", "_held_base", "_prev_tail_ch", "_base",
+                  "_last_starts", "_last_bad", "received", "wrong_crc",
+                  "wrong_size")
+    snapshot = TimeParSession.snapshot
+    restore = TimeParSession.restore
 
     def push(self, samples: np.ndarray):
         """samples: int16 [n_channels, group*sb_row].  Returns the
