@@ -72,7 +72,8 @@ def run_bench(n_streams: int = 256, block_len: int = 49_152,
               iters: int = 10, fast: bool = True,
               frames_per_stream: int = 4, device_crc: bool = False,
               scaling: bool = False, superblock: int = 1,
-              sublanes: int = 8, lobe_fir: bool = False):
+              sublanes: int = 8, lobe_fir: bool = False,
+              mxu_fir: bool = False):
     """Verified throughput measurement.
 
     The TPU plugin dedupes repeated identical dispatches, a repeated
@@ -101,6 +102,8 @@ def run_bench(n_streams: int = 256, block_len: int = 49_152,
         kflags["kernel_sublanes"] = sublanes
     if fast and lobe_fir:
         kflags["lobe_fir"] = True
+    if fast and mxu_fir:
+        kflags["mxu_fir"] = True
 
     # distinct-input set must fit HBM next to the superblock transpose
     n_variants = 3 if n_streams * block_len * superblock * 2 <= 4e9 \
@@ -162,14 +165,18 @@ def run_bench(n_streams: int = 256, block_len: int = 49_152,
     assert n_ok == want_ok, (
         f"bench frames fail CRC after drain: {n_ok} != {want_ok}")
 
-    # steady state: verified per dispatch (see docstring)
+    # steady state: verified per dispatch (see docstring).  The count
+    # verification sums ON DEVICE and reads back one scalar — pulling
+    # the whole [SB, S] count array through the ~3-45 MB/s tunnel
+    # charged ~70 ms/dispatch to the kernel (the r3 flagship number
+    # understated device throughput by ~1.6x).
     c = carry
     times = []
     for k in range(iters):
         x = bufs[k % n_variants]
         t0 = time.time()
         c, frames, _ = step(x, c)
-        total = int(np.asarray(frames.count).sum())   # sync + verify
+        total = int(np.asarray(jnp.sum(frames.count)))  # sync + verify
         times.append(time.time() - t0)
         want = wants[k % n_variants] * n_streams * max(superblock, 1)
         assert total == want, (
@@ -178,13 +185,13 @@ def run_bench(n_streams: int = 256, block_len: int = 49_152,
     sps = n_streams * block_len * superblock / dt
 
     extra = {"mode": {
-        "fir": "lobe" if lobe_fir else "exact",
+        "fir": ("mxu" if mxu_fir else "lobe" if lobe_fir else "exact"),
         "sublanes": sublanes, "superblock": superblock,
         "n_streams": n_streams,
-        # lobe FIR is a packet-parity-gated throughput mode (the
+        # lobe/mxu FIR are packet-parity-gated throughput modes (the
         # byte-parity CLI paths always use the exact FIR); the per-
         # iteration count check above plus the CRC drain gate this run
-        "bit_exact_fir": not lobe_fir,
+        "bit_exact_fir": not (lobe_fir or mxu_fir),
     }}
     if scaling:
         extra.update(_measure_scaling(
@@ -310,7 +317,7 @@ def _measure_scaling(step, bufs, wants, n_streams, block_len,
         cd = pl.init_carry(n_streams)
         # compile + verify both paths
         cs, f, _ = fn(bufs[0], nv, cs)
-        assert int(np.asarray(f.count).sum()) == \
+        assert int(np.asarray(jnp.sum(f.count))) == \
             wants[0] * n_streams * superblock
         td, ts = [], []
         for k in range(iters):
@@ -318,12 +325,13 @@ def _measure_scaling(step, bufs, wants, n_streams, block_len,
             want = wants[k % len(wants)] * n_streams * superblock
             t0 = time.time()
             cd, f, _ = step(x, cd)
-            total = int(np.asarray(f.count).sum())   # sync + verify
+            # device-side sum + scalar readback (see run_bench)
+            total = int(np.asarray(jnp.sum(f.count)))
             td.append(time.time() - t0)
             assert total == want, (total, want)
             t0 = time.time()
             cs, f, _ = fn(x, nv, cs)
-            total = int(np.asarray(f.count).sum())
+            total = int(np.asarray(jnp.sum(f.count)))
             ts.append(time.time() - t0)
             assert total == want, (total, want)
         n = n_streams * block_len * superblock
@@ -345,14 +353,18 @@ def _measure_scaling(step, bufs, wants, n_streams, block_len,
 CONFIGS = [
     # flagship: fused Pallas pipeline at 32-sublane stream tiles (4096
     # independent per-lane DPLL/HDLC chains pipeline the latency-bound
-    # recurrence), main-lobe FIR, 8 blocks chained per dispatch to
-    # amortize the ~23 ms verified-dispatch cost
+    # recurrence), in-kernel MXU banded-matmul FIR, 12 blocks chained
+    # per dispatch to amortize the ~23 ms verified-dispatch cost
+    dict(n_streams=4096, block_len=49_152, iters=8, superblock=12,
+         sublanes=32, mxu_fir=True, scaling=True),
     dict(n_streams=4096, block_len=49_152, iters=8, superblock=12,
          sublanes=32, lobe_fir=True, scaling=True),
     dict(n_streams=4096, block_len=49_152, iters=8, superblock=8,
          sublanes=32, lobe_fir=True, scaling=True),
-    # fallback: exact-FIR kernel at 16 sublanes (the 32-sublane tile
-    # only fits VMEM with the main-lobe FIR)
+    # bit-exact: exact-order-FIR kernel at 16 sublanes (recorded as
+    # the "bit_exact" block when a gated-FIR config is the headline)
+    dict(n_streams=2048, block_len=49_152, iters=8, superblock=12,
+         sublanes=16, scaling=True),
     dict(n_streams=2048, block_len=49_152, iters=8, superblock=8,
          sublanes=16, scaling=True),
     dict(n_streams=1024, block_len=49_152, iters=10, superblock=8,
@@ -456,7 +468,7 @@ def main() -> int:
     # the byte-parity CLI paths never use lobe FIR)
     if extra.get("mode", {}).get("fir") != "exact":
         for idx, cfg in enumerate(CONFIGS):
-            if not cfg.get("lobe_fir"):
+            if not cfg.get("lobe_fir") and not cfg.get("mxu_fir"):
                 try:
                     sps_x, extra_x = _run_config_subprocess(idx)
                     out["bit_exact"] = {

@@ -69,23 +69,6 @@ def make_receiver_factory(cfg: Config):
     raise SystemExit(f"unknown backend: {cfg.backend}")
 
 
-def _load_iq_as_audio(path: str, decim: int) -> np.ndarray:
-    """Raw interleaved float32 I,Q -> discriminated int16 audio at
-    48 kHz (BASELINE config 3 front-end)."""
-    import jax.numpy as jnp
-
-    from gnuais_tpu.ops.discriminator import (design_decim_fir, init_iq,
-                                              iq_to_int16_audio)
-    raw = np.fromfile(path, dtype="<f4")
-    n = (len(raw) // 2) * 2
-    iq = (raw[0:n:2] + 1j * raw[1:n:2]).astype(np.complex64)
-    m = (len(iq) // decim) * decim
-    taps = jnp.asarray(design_decim_fir(decim))
-    audio, _ = iq_to_int16_audio(jnp.asarray(iq[None, :m]),
-                                 init_iq(1, 64), taps, decim)
-    return np.asarray(audio)[0]
-
-
 def _open_sound_device(cfg: Config, channels: int):
     """Live capture per the SoundDevice directive (ais.c:150-172):
     ``pulse`` selects PulseAudio, anything else is an ALSA PCM name."""
@@ -371,18 +354,23 @@ def run_decode(cfg: Config, out_stream=None) -> int:
     nch_cfg = 1 if cfg.sound_channels == C.SOUND_CHANNELS_MONO else 2
     live = None
     interleaved = None
+    iq_reader = None
     import stat as stat_mod
     src = cfg.sound_in_file
     try:
         if not src:
             live = _open_sound_device(cfg, nch_cfg)
         elif cfg.input_format == "iq":
-            # raw interleaved float32 I,Q at 48 kHz * iq_decim: run the
-            # on-device FM discriminator + decimation front-end, then
-            # decode the resulting audio (mono only)
-            interleaved = _load_iq_as_audio(src, cfg.iq_decim)
-            log.info("Demodulated IQ from file: %s (decim %d)",
-                     src, cfg.iq_decim)
+            # raw interleaved float32 I/Q (1-2 AIS channels) at
+            # 48 kHz * iq_decim: the on-device FM discriminator +
+            # decimation front-end streams super-block chunks with an
+            # explicit carry (io.iq) — O(chunk) host memory, exactly
+            # like the soundcard input layer (input.c:108-126)
+            from gnuais_tpu.io.iq import IqStreamReader
+            iq_reader = IqStreamReader(src, channels=nch_cfg,
+                                       decim=cfg.iq_decim)
+            log.info("Streaming IQ from file: %s (decim %d, %d ch)",
+                     src, cfg.iq_decim, nch_cfg)
         else:
             is_stream = src == "-" or (
                 os.path.exists(src)
@@ -486,11 +474,17 @@ def run_decode(cfg: Config, out_stream=None) -> int:
         disp = _TimeParDispatcher(chans, cfg.skip_type, on_message)
         if cfg.meshshape:
             block_iter = (live.blocks() if live is not None
+                          else iq_reader.blocks() if iq_reader is not None
                           else audio_io.iter_blocks(interleaved, nch_cfg,
                                                     1 << 16))
             timepar_counters, n_samples = _mesh_decode(
                 cfg, chans, nch_cfg, block_iter, disp, tee)
         else:
+            if iq_reader is not None:
+                # whole-capture lane decode: materialize only the
+                # DEMODULATED audio (8*decim/channels-fold smaller than
+                # the IQ file, which stays memmapped)
+                interleaved = iq_reader.read_all()
             timepar_counters, n_samples = _lanes_decode(
                 cfg, chans, nch_cfg, interleaved, disp, tee)
     else:
@@ -538,8 +532,21 @@ def run_decode(cfg: Config, out_stream=None) -> int:
                     if off and rx.pipe.restored_extra:
                         disp.seqnr = int(
                             rx.pipe.restored_extra.get("seqnr", 0))
-            block_iter = audio_io.iter_blocks(interleaved[off * nchs:],
-                                              nchs)
+            if iq_reader is not None:
+                # the IQ front-end carry at the resume offset is
+                # reconstructed exactly from the memmapped file; the
+                # demodulator's big device chunks are re-sliced to the
+                # session's reference block framing (ais.c:179-182)
+                def _rechunk(blocks, step):
+                    for blk in blocks:
+                        for o in range(0, len(blk), step):
+                            yield blk[o:o + step]
+                block_iter = _rechunk(
+                    iq_reader.blocks(skip_frames=off),
+                    audio_io.reference_block_frames() * nchs)
+            else:
+                block_iter = audio_io.iter_blocks(
+                    interleaved[off * nchs:], nchs)
         n_samples = 0
         for block in block_iter:
             n_samples += len(block) // nchs

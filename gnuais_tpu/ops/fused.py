@@ -625,7 +625,8 @@ def _pipeline_kernel(scal_ref, x_ref, pll_in, prev_in, last_in, hist_in,
                      unroll: int = 32, guarded: bool = True,
                      chunks_per_tile: int | None = None,
                      with_fir: bool = True, fir_mode: str = "vpu",
-                     amat_ref=None, assume_full: bool = False):
+                     amat_ref=None, assume_full: bool = False,
+                     strip: str = ""):
     """One grid step of the fully fused decode pipeline.
 
     scal_ref: [4] int32 = (n_valid, block_base, lost2_lo, lost2_hi).
@@ -741,6 +742,10 @@ def _pipeline_kernel(scal_ref, x_ref, pll_in, prev_in, last_in, hist_in,
                 prev = jnp.where(valid, curr, prev)
                 lastbit = jnp.where(valid, last_next, lastbit)
             acc = code if acc is None else acc | code
+            if (k & 3) == 3 and "hdlc" in strip:
+                # perf-bisection mode: drop the whole slot section
+                acc = None
+                continue
             if (k & 3) == 3:
                 gval = acc >= 8
                 gbit = (acc >> 2) & 1
@@ -756,7 +761,8 @@ def _pipeline_kernel(scal_ref, x_ref, pll_in, prev_in, last_in, hist_in,
                 # per-lane variable shift amounts measured ~10% SLOWER
                 # on v5e — vector shifts with vector amounts lower
                 # poorly; the straight form stays)
-                srg = _single_shift(srg, gbit, app)
+                if "shift" not in strip:
+                    srg = _single_shift(srg, gbit, app)
 
                 def snapshot(emit=emit, flen=flen, srg=srg, hv=hv,
                              mcnt=mcnt, spos=spos):
@@ -769,7 +775,9 @@ def _pipeline_kernel(scal_ref, x_ref, pll_in, prev_in, last_in, hist_in,
                         mstart[m] = jnp.where(sel, hv[7], mstart[m])
                         mend[m] = jnp.where(sel, spos, mend[m])
 
-                if guarded:
+                if "snap" in strip:
+                    pass
+                elif guarded:
                     pl.when(jnp.any(emit))(snapshot)
                 else:
                     snapshot()
@@ -862,7 +870,8 @@ def pipeline_fused(samples: jax.Array, n_valid: jax.Array,
                    lost2_lo: jax.Array | None = None,
                    lost2_hi: jax.Array | None = None,
                    sublanes: int = SUBLANES,
-                   assume_full: bool = False):
+                   assume_full: bool = False,
+                   strip: str = ""):
     """Fused raw-samples -> frame-candidates decode step.
 
     samples: int16/float32 [S, T] (any S — streams beyond 1024 ride
@@ -917,7 +926,7 @@ def pipeline_fused(samples: jax.Array, n_valid: jax.Array,
     base_kernel = functools.partial(
         _pipeline_kernel, unroll=unroll, guarded=guarded,
         chunks_per_tile=cpt, with_fir=not prefiltered, fir_mode=fir_mode,
-        assume_full=assume_full)
+        assume_full=assume_full, strip=strip)
     if fir_mode == "mxu":
         # the banded taps matrix rides as a (replicated) kernel input —
         # Pallas kernels cannot capture array constants

@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Honest perf bisection of the fused kernel: strip pieces (snapshot /
+register shift / whole HDLC slot section) with static flags and
+measure each variant under the verified protocol (distinct inputs,
+EVOLVING carry so no dispatch ever repeats, per-dispatch readback).
+
+Usage: diag_strip.py [strip=snap|shift,snap|hdlc] [fir=mxu|lobe|vpu]
+"""
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gnuais_tpu.golden import encoder as E
+    from gnuais_tpu.ops.fused import pipeline_fused
+    from gnuais_tpu.ops import demod
+    from gnuais_tpu import constants as C
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+    S, T, K = 4096, 49_152, 12
+    strip = ""
+    fir = "mxu"
+    guarded = True
+    for a in sys.argv[1:]:
+        if a.startswith("strip="):
+            strip = a[6:]
+        elif a.startswith("fir="):
+            fir = a[4:]
+        elif a == "unguarded":
+            guarded = False
+
+    bufs, wants = [], []
+    for v in range(2):
+        n_pay = 3 + v
+        audio = E.synthesize_capture(
+            [E.random_payload(np.random.default_rng(v + 1))
+             for _ in range(n_pay)], gap_bits=64, lead_in_bits=64 + 16 * v)
+        b = np.zeros((S, T), np.int16)
+        b[:, :len(audio)] = audio
+        d = jax.device_put(jnp.asarray(b))
+        bufs.append(jax.jit(lambda a: jnp.tile(a, (1, K)))(d))
+        wants.append(n_pay * S * K)
+    jax.block_until_ready(bufs)
+
+    hist0 = jnp.zeros((S, C.FIR_LEN), jnp.float32)
+
+    @jax.jit
+    def run_sb(xk, d0, h0):
+        xs = xk.reshape(S, K, T).transpose(1, 0, 2)
+
+        def body(c, xb):
+            h, d, hh = c
+            (cand_valid, cw, cl, cs, ce, l2, ov, h2, d2, hh2) = \
+                pipeline_fused(xb, jnp.int32(T), h, d, hh,
+                               sublanes=32, fir_mode=fir,
+                               guarded=guarded, assume_full=True,
+                               strip=strip)
+            return (h2, d2, hh2), cand_valid.sum()
+
+        (h2, d2, hh2), counts = jax.lax.scan(
+            body, (hist0, d0, h0), xs)
+        # readback fingerprint: evolving DPLL state forces truthful
+        # completion and never repeats across iterations
+        return counts.sum(), d2.pll.astype(jnp.int64).sum(), d2, h0
+
+    d0 = demod.init_dpll(S)
+    h0 = demod.init_hdlc(S)
+    cnt, fp, d2, _ = run_sb(bufs[0], d0, h0)
+    if "hdlc" not in strip:
+        assert int(np.asarray(cnt)) == wants[0], (int(cnt), wants[0])
+    times = []
+    for k in range(8):
+        x = bufs[k % 2]
+        t0 = time.time()
+        cnt, fp, d2, _ = run_sb(x, d2, h0)   # d2 evolves every iter
+        got = int(np.asarray(cnt)) + int(np.asarray(fp)) * 0
+        times.append(time.time() - t0)
+        if "hdlc" not in strip:
+            assert got == wants[k % 2], (got, wants[k % 2])
+    med = sorted(times)[len(times) // 2]
+    n = S * T * K
+    print(f"strip='{strip}' fir={fir} guarded={guarded}: "
+          f"median {med*1e3:8.2f} ms = "
+          f"{n/med/1e9:6.2f} Gsamp/s  best {n/min(times)/1e9:6.2f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -77,18 +77,23 @@ def main():
     jax.block_until_ready(fr)
     print(f"compile+1st: {time.time()-t0:.1f}s backend={jax.default_backend()}")
 
+    import jax.numpy as jnp2
+
     times = []
     c = carry
     for k in range(ITERS):
         x = bufs[k % P]
         t0 = time.time()
         c, fr, _ = step(x, c)
-        cnt = np.asarray(fr.count)        # sync + verify THIS dispatch
+        # sync + verify THIS dispatch.  Sum ON DEVICE and read back 4
+        # bytes: pulling the whole [SB, S] count array through the
+        # ~3-45 MB/s tunnel charged ~70 ms/dispatch to the kernel
+        # (discovered round 4 — the r3/r4 numbers understated device
+        # throughput by ~1.6x at the flagship shape).
+        cnt = int(np.asarray(jnp2.sum(fr.count)))
         dt = time.time() - t0
         exp = want[k % P] * (SB if SB > 1 else 1)
-        # superblock: count has [SB] leading axis; per-block count =
-        # n_pay (frames repeat per tiled block)
-        total = int(cnt.sum()) // S
+        total = cnt // S
         assert total == exp, f"STALE/WRONG result at iter {k}: {total} != {exp}"
         times.append(dt)
         print(f"  iter {k}: {dt*1e3:8.2f} ms  "
