@@ -73,7 +73,8 @@ def run_bench(n_streams: int = 256, block_len: int = 49_152,
               frames_per_stream: int = 4, device_crc: bool = False,
               scaling: bool = False, superblock: int = 1,
               sublanes: int = 8, lobe_fir: bool = False,
-              mxu_fir: bool = False):
+              mxu_fir: bool = False, unroll: int = 32,
+              guarded: bool = True):
     """Verified throughput measurement.
 
     The TPU plugin dedupes repeated identical dispatches, a repeated
@@ -104,6 +105,14 @@ def run_bench(n_streams: int = 256, block_len: int = 49_152,
         kflags["lobe_fir"] = True
     if fast and mxu_fir:
         kflags["mxu_fir"] = True
+    if fast and unroll != 32:
+        kflags["kernel_unroll"] = unroll
+    if fast and not guarded:
+        # unconditional per-slot snapshot selects instead of the
+        # any(emit)+branch guard: +14% at [32,128] tiles (the
+        # cross-lane reduce + data-dependent branch stalls the
+        # vector pipeline)
+        kflags["kernel_guarded"] = False
 
     # distinct-input set must fit HBM next to the superblock transpose
     n_variants = 3 if n_streams * block_len * superblock * 2 <= 4e9 \
@@ -167,9 +176,8 @@ def run_bench(n_streams: int = 256, block_len: int = 49_152,
 
     # steady state: verified per dispatch (see docstring).  The count
     # verification sums ON DEVICE and reads back one scalar — pulling
-    # the whole [SB, S] count array through the ~3-45 MB/s tunnel
-    # charged ~70 ms/dispatch to the kernel (the r3 flagship number
-    # understated device throughput by ~1.6x).
+    # the whole [SB, S] count array through the slow tunnel costs a few
+    # ms per dispatch for no additional verification power.
     c = carry
     times = []
     for k in range(iters):
@@ -187,7 +195,7 @@ def run_bench(n_streams: int = 256, block_len: int = 49_152,
     extra = {"mode": {
         "fir": ("mxu" if mxu_fir else "lobe" if lobe_fir else "exact"),
         "sublanes": sublanes, "superblock": superblock,
-        "n_streams": n_streams,
+        "n_streams": n_streams, "unroll": unroll, "guarded": guarded,
         # lobe/mxu FIR are packet-parity-gated throughput modes (the
         # byte-parity CLI paths always use the exact FIR); the per-
         # iteration count check above plus the CRC drain gate this run
@@ -356,15 +364,19 @@ CONFIGS = [
     # recurrence), in-kernel MXU banded-matmul FIR, 12 blocks chained
     # per dispatch to amortize the ~23 ms verified-dispatch cost
     dict(n_streams=4096, block_len=49_152, iters=8, superblock=12,
-         sublanes=32, mxu_fir=True, scaling=True),
+         sublanes=32, mxu_fir=True, unroll=64, guarded=False,
+         scaling=True),
     dict(n_streams=4096, block_len=49_152, iters=8, superblock=12,
-         sublanes=32, lobe_fir=True, scaling=True),
+         sublanes=32, lobe_fir=True, guarded=False, scaling=True),
     dict(n_streams=4096, block_len=49_152, iters=8, superblock=8,
          sublanes=32, lobe_fir=True, scaling=True),
-    # bit-exact: exact-order-FIR kernel at 16 sublanes (recorded as
-    # the "bit_exact" block when a gated-FIR config is the headline)
+    # bit-exact: exact-order-FIR kernel (recorded as the "bit_exact"
+    # block when a gated-FIR config is the headline); 32-sublane tiles
+    # fit VMEM since the Mosaic cap was raised
+    dict(n_streams=4096, block_len=49_152, iters=8, superblock=12,
+         sublanes=32, guarded=False, scaling=True),
     dict(n_streams=2048, block_len=49_152, iters=8, superblock=12,
-         sublanes=16, scaling=True),
+         sublanes=16, guarded=False, scaling=True),
     dict(n_streams=2048, block_len=49_152, iters=8, superblock=8,
          sublanes=16, scaling=True),
     dict(n_streams=1024, block_len=49_152, iters=10, superblock=8,

@@ -650,6 +650,14 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--tile-fetch", action="store_true",
                    help="fetch missing map tiles from the OSM tile "
                         "service into the cache (needs network)")
+    p.add_argument("--low-latency", action="store_true",
+                   help="minimize capture-to-NMEA latency on the mesh "
+                        "streaming path: smallest shard size (4096 "
+                        "samples; the resync overlap floor) — latency "
+                        "scales with meshshape's time axis x shard "
+                        "size (one super-block is held for exact "
+                        "seam hand-off); costs throughput "
+                        "(tools/latency_bench.py prints the table)")
     p.add_argument("--checkpoint", metavar="PATH",
                    help="checkpoint decoder state (per channel) for "
                         "exact crash recovery / resume")
@@ -729,6 +737,11 @@ def main(argv: Optional[List[str]] = None) -> int:
         cfg.checkpoint = args.checkpoint
     if args.checkpoint_every is not None:
         cfg.checkpoint_every = args.checkpoint_every
+    if args.low_latency:
+        # shard-size floor = the resync overlap (parallel/timepar
+        # DEFAULT_OVERLAP); smaller shards would shrink the lead
+        # overlap below the DPLL-relock + max-frame margin
+        cfg.timepar_block = 4096
 
     return run_decode(cfg)
 

@@ -496,7 +496,6 @@ def compact_candidates(frames: FrameBatch, cand_valid: jax.Array,
     tensor."""
     s, k = cand_valid.shape
     frame_slots = frames.words.shape[1]
-    w = cw.shape[-1]
     dst = jnp.cumsum(cand_valid.astype(jnp.int32), axis=1) - 1 \
         + frames.count[:, None]
     overflow = cand_valid & (dst >= frame_slots)
@@ -514,27 +513,38 @@ def compact_candidates(frames: FrameBatch, cand_valid: jax.Array,
         return [((u >> (8 * i)) & 0xFF).astype(jnp.bfloat16)
                 for i in range(n)]
 
-    feats = jnp.concatenate(
-        [((cw >> (8 * i)) & 0xFF).astype(jnp.bfloat16) for i in range(4)]
-        + [p[:, :, None] for p in bytes_of(cl, 2)]
-        + [p[:, :, None] for p in bytes_of(cs, 4)]
-        + [p[:, :, None] for p in bytes_of(ce, 4)], axis=2)
-    out = jnp.einsum("skj,skd->sjd", hitf, feats,
-                     preferred_element_type=jnp.float32)  # [S, F, 4W+10]
-
     def unbytes(parts):
         acc = parts[0].astype(jnp.uint32)
         for i, p in enumerate(parts[1:], start=1):
             acc = acc | (p.astype(jnp.uint32) << (8 * i))
         return acc
 
-    g_words = unbytes([out[..., i * w:(i + 1) * w] for i in range(4)])
-    g_len = unbytes([out[..., 4 * w + i] for i in range(2)]) \
+    # The register words (4W = 60 byte planes of [S, K]) dominated the
+    # einsum's feature build — ~3/4 of the compaction's VPU time went
+    # into byte-splitting a tensor that is ~99% empty slots.  Instead:
+    # einsum only the small per-candidate fields PLUS the candidate's
+    # own index k (2 bytes, exact in bf16), then fetch each landed
+    # slot's words with one take_along_axis gather over the F (<= 64)
+    # destinations.  Exactness unchanged: every einsum output element
+    # is still a single product of <= 8-bit-exact values.
+    kb = bytes_of(jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32)[None],
+                                   (s, k)), 2)
+    feats = jnp.concatenate(
+        [p[:, :, None] for p in bytes_of(cl, 2)]
+        + [p[:, :, None] for p in bytes_of(cs, 4)]
+        + [p[:, :, None] for p in bytes_of(ce, 4)]
+        + [p[:, :, None] for p in kb], axis=2)
+    out = jnp.einsum("skj,skd->sjd", hitf, feats,
+                     preferred_element_type=jnp.float32)  # [S, F, 12]
+
+    g_len = unbytes([out[..., i] for i in range(2)]).astype(jnp.int32)
+    g_start = unbytes([out[..., 2 + i] for i in range(4)]) \
         .astype(jnp.int32)
-    g_start = unbytes([out[..., 4 * w + 2 + i] for i in range(4)]) \
+    g_end = unbytes([out[..., 6 + i] for i in range(4)]) \
         .astype(jnp.int32)
-    g_end = unbytes([out[..., 4 * w + 6 + i] for i in range(4)]) \
-        .astype(jnp.int32)
+    src = unbytes([out[..., 10 + i] for i in range(2)]) \
+        .astype(jnp.int32)                               # [S, F]
+    g_words = jnp.take_along_axis(cw, src[:, :, None], axis=1)
 
     new_words = jnp.where(found[:, :, None], g_words, frames.words)
     new_len = jnp.where(found, g_len, frames.length)

@@ -245,3 +245,48 @@ def test_tpu_mxu_fir_packet_parity():
         k = v.count[s]
         assert np.array_equal(v.words[s, :k], m.words[s, :k])
         assert np.array_equal(v.length[s, :k], m.length[s, :k])
+
+
+def test_tpu_exact_fir_sl32_bitexact():
+    """Exact-order FIR at kernel_sublanes=32 (fits VMEM since the
+    Mosaic cap was raised to 100 MB): bit-exact vs the CPU exact chain
+    — the round-4 bit-exact bench config."""
+    _require_tpu()
+    x = _noisy_batch(8, 4096, seed=41)
+    want = _decode_on(_cpu(), x, 4096)
+    got = _decode_on(_tpu(), x, 4096, fused_pipeline=True,
+                     kernel_sublanes=32, kernel_guarded=False)
+    _assert_equal_tree(want, got)
+
+
+def test_tpu_assume_full_unguarded_bitexact():
+    """assume_full (valid gates compiled out) + kernel_guarded=False
+    (unconditional snapshot selects) on silicon: bit-exact vs the CPU
+    exact chain for a full block."""
+    _require_tpu()
+    x = _noisy_batch(8, 4096, seed=43)
+    want = _decode_on(_cpu(), x, 4096)
+    got = _decode_on(_tpu(), x, 4096, fused_pipeline=True,
+                     assume_full=True, kernel_guarded=False)
+    _assert_equal_tree(want, got)
+
+
+def test_tpu_flagship_mode_packet_parity():
+    """The round-4 flagship bench mode (mxu FIR, 32 sublanes, unroll
+    64, unguarded, assume_full) on real silicon: packet decisions equal
+    the exact kernel's; positions within the +-2 rounding-jitter
+    envelope."""
+    _require_tpu()
+    x = _noisy_batch(8, 4096, seed=47)
+    _cv, v, _ = _decode_on(_tpu(), x, 4096, fused_pipeline=True)
+    _cm, m, _ = _decode_on(_tpu(), x, 4096, fused_pipeline=True,
+                           kernel_sublanes=32, mxu_fir=True,
+                           kernel_unroll=64, kernel_guarded=False,
+                           assume_full=True)
+    assert np.array_equal(v.count, m.count)
+    for s in range(x.shape[0]):
+        k = v.count[s]
+        assert np.array_equal(v.words[s, :k], m.words[s, :k])
+        assert np.array_equal(v.length[s, :k], m.length[s, :k])
+        assert np.abs(v.start[s, :k] - m.start[s, :k]).max(initial=0) <= 2
+        assert np.abs(v.end[s, :k] - m.end[s, :k]).max(initial=0) <= 2

@@ -178,6 +178,40 @@ def test_stereo_grouped_mesh_two_segments_per_channel(tmp_path):
     assert _counters(par.stderr) == _counters(seq.stderr)
 
 
+def test_low_latency_knob(tmp_path):
+    """--low-latency pins the shard size to the 4096-sample resync
+    floor (smallest super-block per mesh time axis) while staying
+    byte-identical to the sequential session."""
+    rng = np.random.default_rng(79)
+    payloads = [E.random_payload(rng) for _ in range(12)]
+    audio = E.synthesize_capture(payloads, gap_bits=600)
+    noisy = np.clip(audio + rng.normal(0, 200, len(audio)),
+                    -32768, 32767).astype(np.int16)
+    cap = tmp_path / "cap.raw"
+    noisy.tofile(cap)
+
+    seq = _run_cli(f"soundchannels mono\nsoundinfile {cap}\n",
+                   tmp_path, "seq.conf")
+    conf = tmp_path / "ll.conf"
+    conf.write_text(f"soundchannels mono\nmeshshape 1 2\n"
+                    f"timeparblock 16384\nsoundinfile {cap}\n")
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XDG_CONFIG_HOME=str(tmp_path))
+    flags = env.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (flags +
+                            " --xla_force_host_platform_device_count=8")
+    r = subprocess.run(
+        [sys.executable, "-m", "gnuais_tpu.cli", "-c", str(conf),
+         "--low-latency"],
+        capture_output=True, text=True, timeout=600, env=env, cwd=REPO)
+    assert r.returncode == 0, r.stderr[-800:]
+    # the knob overrides the configured 16384 down to the 4096 floor
+    assert "4096-sample shards" in r.stderr
+    assert r.stdout.splitlines() == seq.stdout.splitlines()
+    assert _counters(r.stderr) == _counters(seq.stderr)
+
+
 def test_live_fifo_mesh_streaming(tmp_path):
     """Live (FIFO) input through the meshshape streaming path: the CLI
     consumes `-l <fifo>` block-by-block, TimeParSession chains the
