@@ -207,7 +207,81 @@ def run_bench(n_streams: int = 256, block_len: int = 49_152,
             kflags={**kflags, "assume_full": fast}, fast=fast,
             device_crc=device_crc))
         extra.update(_measure_timepar())
+        extra.update(_measure_iq())
     return sps, extra
+
+
+def _measure_iq(n_streams: int = 1024, block_len: int = 49_152,
+                decim: int = 4, superblock: int = 4, iters: int = 6):
+    """BASELINE config 3 at scale: the on-device IQ front-end (FM
+    discriminator + decimating FIR) chained into the fused decode —
+    one dispatch demodulates AND decodes.  Reported in output AUDIO
+    samples/s (the decode envelope; the IQ input rate is decim x
+    higher).  Same verified protocol: distinct IQ variants built from
+    frame captures with known counts, carry chained, per-dispatch
+    device-side count check."""
+    import jax
+    import jax.numpy as jnp
+
+    from gnuais_tpu.golden import encoder as E
+    from gnuais_tpu.ops.discriminator import (design_decim_fir, init_iq,
+                                              iq_to_int16_audio)
+    from gnuais_tpu.runtime import pipeline as pl
+
+    try:
+        taps = jnp.asarray(design_decim_fir(decim))
+        bufs, wants = [], []
+        for v in range(2):
+            n_pay = 3 + v
+            rng = np.random.default_rng(v + 11)
+            audio = E.synthesize_capture(
+                [E.random_payload(rng) for _ in range(n_pay)],
+                gap_bits=64, lead_in_bits=64 + 16 * v)
+            a = np.zeros(block_len, np.int16)
+            a[:len(audio)] = audio
+            x = np.repeat(a.astype(np.float64) / 32767.0, decim)
+            phase = (2 * np.pi * np.cumsum(x * 2400.0)
+                     / (48000.0 * decim))
+            iq = np.exp(1j * phase).astype(np.complex64)
+            d = jax.device_put(jnp.asarray(iq))     # one row, ~1.6 MB
+            d = jax.jit(lambda a: jnp.tile(a[None, :],
+                                           (n_streams, superblock)))(d)
+            bufs.append(d)
+            wants.append(n_pay * n_streams * superblock)
+
+        nv = jnp.int32(block_len * superblock)
+
+        @jax.jit
+        def step(iq, st, carry):
+            audio, st2 = iq_to_int16_audio(iq, st, taps, decim)
+            c2, frames, _ = pl.decode_superblock(
+                audio, nv, carry, superblock, frame_slots=32,
+                fused_pipeline=True, kernel_sublanes=8,
+                assume_full=True, kernel_guarded=False,
+                with_peak=False)
+            return st2, c2, jnp.sum(frames.count)
+
+        st = init_iq(n_streams)
+        carry = pl.init_carry(n_streams)
+        st, carry, cnt = step(bufs[0], st, carry)
+        assert int(np.asarray(cnt)) == wants[0], (int(cnt), wants[0])
+        times = []
+        for k in range(iters):
+            t0 = time.time()
+            st, carry, cnt = step(bufs[k % 2], st, carry)
+            total = int(np.asarray(cnt))            # sync + verify
+            times.append(time.time() - t0)
+            assert total == wants[k % 2], (total, wants[k % 2])
+        dt = sorted(times)[len(times) // 2]
+        n_audio = n_streams * block_len * superblock
+        return {"iq_frontend": {
+            "streams": n_streams, "decim": decim,
+            "audio_sps": round(n_audio / dt, 1),
+            "iq_sps": round(n_audio * decim / dt, 1),
+        }}
+    except Exception as e:
+        print(f"iq measurement failed: {e!r}", file=sys.stderr)
+        return {}
 
 
 def _measure_timepar(n_samples: int = 100_000_000):
