@@ -212,14 +212,15 @@ def run_bench(n_streams: int = 256, block_len: int = 49_152,
 
 
 def _measure_iq(n_streams: int = 1024, block_len: int = 49_152,
-                decim: int = 4, superblock: int = 4, iters: int = 6):
+                decim: int = 4, superblock: int = 2, iters: int = 6):
     """BASELINE config 3 at scale: the on-device IQ front-end (FM
     discriminator + decimating FIR) chained into the fused decode —
-    one dispatch demodulates AND decodes.  Reported in output AUDIO
-    samples/s (the decode envelope; the IQ input rate is decim x
-    higher).  Same verified protocol: distinct IQ variants built from
-    frame captures with known counts, carry chained, per-dispatch
-    device-side count check."""
+    one dispatch demodulates AND decodes, scanning block by block so
+    the f32 I/Q rails' temporaries stay bounded (a whole-superblock
+    front-end ran HBM out).  Reported in output AUDIO samples/s (the
+    decode envelope; the IQ input rate is decim x higher).  Same
+    verified protocol: distinct IQ variants with known frame counts,
+    carries chained, per-dispatch device-side count check."""
     import jax
     import jax.numpy as jnp
 
@@ -242,33 +243,41 @@ def _measure_iq(n_streams: int = 1024, block_len: int = 49_152,
             x = np.repeat(a.astype(np.float64) / 32767.0, decim)
             phase = (2 * np.pi * np.cumsum(x * 2400.0)
                      / (48000.0 * decim))
-            iq = np.exp(1j * phase).astype(np.complex64)
-            d = jax.device_put(jnp.asarray(iq))     # one row, ~1.6 MB
-            d = jax.jit(lambda a: jnp.tile(a[None, :],
-                                           (n_streams, superblock)))(d)
-            bufs.append(d)
+            # split I/Q rails (the TPU plugin has no complex64),
+            # pre-tiled to [SB, S, T_iq] so the scan needs no transpose
+            ii = np.cos(phase).astype(np.float32)
+            qq = np.sin(phase).astype(np.float32)
+            tile = jax.jit(lambda a: jnp.tile(
+                a[None, None, :], (superblock, n_streams, 1)))
+            bufs.append((tile(jax.device_put(jnp.asarray(ii))),
+                         tile(jax.device_put(jnp.asarray(qq)))))
             wants.append(n_pay * n_streams * superblock)
 
-        nv = jnp.int32(block_len * superblock)
+        nv = jnp.int32(block_len)
 
         @jax.jit
-        def step(iq, st, carry):
-            audio, st2 = iq_to_int16_audio(iq, st, taps, decim)
-            c2, frames, _ = pl.decode_superblock(
-                audio, nv, carry, superblock, frame_slots=32,
-                fused_pipeline=True, kernel_sublanes=8,
-                assume_full=True, kernel_guarded=False,
-                with_peak=False)
-            return st2, c2, jnp.sum(frames.count)
+        def step(i, q, st, carry):
+            def body(c, xs):
+                st_, carry_ = c
+                ib, qb = xs
+                audio, st2 = iq_to_int16_audio(ib, qb, st_, taps, decim)
+                c2, frames, _ = pl.decode_block(
+                    audio, nv, carry_, frame_slots=32,
+                    fused_pipeline=True, assume_full=True,
+                    kernel_guarded=False, with_peak=False)
+                return (st2, c2), jnp.sum(frames.count)
+
+            (st2, c2), counts = jax.lax.scan(body, (st, carry), (i, q))
+            return st2, c2, counts.sum()
 
         st = init_iq(n_streams)
         carry = pl.init_carry(n_streams)
-        st, carry, cnt = step(bufs[0], st, carry)
+        st, carry, cnt = step(*bufs[0], st, carry)
         assert int(np.asarray(cnt)) == wants[0], (int(cnt), wants[0])
         times = []
         for k in range(iters):
             t0 = time.time()
-            st, carry, cnt = step(bufs[k % 2], st, carry)
+            st, carry, cnt = step(*bufs[k % 2], st, carry)
             total = int(np.asarray(cnt))            # sync + verify
             times.append(time.time() - t0)
             assert total == wants[k % 2], (total, wants[k % 2])
@@ -493,11 +502,13 @@ def _run_tpu_tier():
     return counts
 
 
-def _run_config_subprocess(idx: int):
+def _run_config_subprocess(idx: int, no_scaling: bool = False):
     import subprocess
+    cmd = [sys.executable, os.path.abspath(__file__), "--config", str(idx)]
+    if no_scaling:
+        cmd.append("--no-scaling")
     r = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--config", str(idx)],
-        capture_output=True, text=True, timeout=PER_CONFIG_TIMEOUT)
+        cmd, capture_output=True, text=True, timeout=PER_CONFIG_TIMEOUT)
     for line in r.stdout.splitlines():
         if line.startswith("SPS "):
             payload = json.loads(line[4:])
@@ -510,7 +521,9 @@ def _run_config_subprocess(idx: int):
 def main() -> int:
     if len(sys.argv) >= 3 and sys.argv[1] == "--config":
         # child mode: run one config, print machine-readable result
-        cfg = CONFIGS[int(sys.argv[2])]
+        cfg = dict(CONFIGS[int(sys.argv[2])])
+        if "--no-scaling" in sys.argv:
+            cfg["scaling"] = False
         sps, extra = run_bench(**cfg)
         print("SPS " + json.dumps({"sps": sps, "extra": extra}))
         return 0
@@ -556,7 +569,10 @@ def main() -> int:
         for idx, cfg in enumerate(CONFIGS):
             if not cfg.get("lobe_fir") and not cfg.get("mxu_fir"):
                 try:
-                    sps_x, extra_x = _run_config_subprocess(idx)
+                    # throughput only — the scaling/timepar/iq extras
+                    # were already measured by the headline config
+                    sps_x, extra_x = _run_config_subprocess(
+                        idx, no_scaling=True)
                     out["bit_exact"] = {
                         "value": round(sps_x, 1),
                         "mode": extra_x.get("mode", {}),

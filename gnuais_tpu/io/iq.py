@@ -71,19 +71,20 @@ class IqStreamReader:
         taps = jnp.asarray(design_decim_fir(self.decim, self.NTAPS))
 
         @jax.jit
-        def step(iq, state):
-            return iq_to_int16_audio(iq, state, taps, self.decim)
+        def step(i, q, state):
+            return iq_to_int16_audio(i, q, state, taps, self.decim)
 
         return step
 
-    def _iq_slice(self, f0: int, f1: int) -> np.ndarray:
-        """Complex IQ [channels, (f1-f0)*decim] for output frames
-        [f0, f1)."""
+    def _iq_slice(self, f0: int, f1: int):
+        """Split I/Q rails (i, q), each float32 [channels, (f1-f0)*
+        decim], for output frames [f0, f1).  Split on the host: the
+        TPU plugin has no complex64."""
         lo, hi = f0 * self._vpf, f1 * self._vpf
         raw = np.asarray(self._mm[lo:hi], dtype=np.float32)
         fr = raw.reshape(-1, self.channels, 2)      # [n_iq, ch, 2]
-        return (fr[:, :, 0] + 1j * fr[:, :, 1]).T \
-            .astype(np.complex64)                    # [ch, n_iq]
+        return (np.ascontiguousarray(fr[:, :, 0].T),
+                np.ascontiguousarray(fr[:, :, 1].T))
 
     def _state_at(self, frame: int):
         """Reconstruct the exact front-end carry for a resume at output
@@ -102,18 +103,23 @@ class IqStreamReader:
         lo = max(pos - self.NTAPS, 0)            # history covers [lo, pos)
         lo_f = max(lo - 1, 0) // self.decim
         base = lo_f * self.decim
-        iq = self._iq_slice(lo_f, frame)         # abs samples [base, pos)
+        ii, qq = self._iq_slice(lo_f, frame)     # abs samples [base, pos)
         if lo == 0:
-            # stream start: discriminator's initial last_iq is 1+0j
-            prev0 = jnp.ones((self.channels,), jnp.complex64)
+            # stream start: discriminator's initial last sample is 1+0j
+            pi0 = jnp.ones((self.channels,), jnp.float32)
+            pq0 = jnp.zeros((self.channels,), jnp.float32)
         else:
-            prev0 = jnp.asarray(iq[:, lo - 1 - base])
-        window = iq[:, lo - base:]               # [lo, pos)
-        audio_hi, _ = fm_discriminate(jnp.asarray(window), prev0)
+            pi0 = jnp.asarray(ii[:, lo - 1 - base])
+            pq0 = jnp.asarray(qq[:, lo - 1 - base])
+        wi = ii[:, lo - base:]                   # [lo, pos)
+        wq = qq[:, lo - base:]
+        audio_hi, _li, _lq = fm_discriminate(jnp.asarray(wi),
+                                             jnp.asarray(wq), pi0, pq0)
         hist = np.zeros((self.channels, self.NTAPS), np.float32)
         a = np.asarray(audio_hi)
         hist[:, self.NTAPS - a.shape[1]:] = a
-        return st._replace(last_iq=jnp.asarray(iq[:, -1]),
+        return st._replace(last_i=jnp.asarray(ii[:, -1]),
+                           last_q=jnp.asarray(qq[:, -1]),
                            fir_history=jnp.asarray(hist))
 
     def blocks(self, skip_frames: int = 0) -> Iterator[np.ndarray]:
@@ -128,8 +134,9 @@ class IqStreamReader:
         f = skip_frames
         while f < self.n_frames:
             f1 = min(f + self.block_frames, self.n_frames)
-            iq = self._iq_slice(f, f1)
-            audio, state = self._step(jnp.asarray(iq), state)
+            ii, qq = self._iq_slice(f, f1)
+            audio, state = self._step(jnp.asarray(ii), jnp.asarray(qq),
+                                      state)
             a = np.asarray(audio)                 # [ch, f1-f]
             if self.channels == 1:
                 yield a[0]

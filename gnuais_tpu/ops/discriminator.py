@@ -9,6 +9,13 @@ and decimated to the 48 kHz audio the decode chain expects
 
 All batched over [streams, time]; carry = last IQ sample (for the
 phase difference) + decimation FIR history.
+
+TPU-native formulation: the I and Q rails are SEPARATE float32 arrays
+and the anti-alias decimator is a polyphase sum of shifted slices —
+this backend's plugin implements neither complex64 arithmetic nor
+conv_general_dilated, and neither is needed: the phase-difference
+product is four real multiplies, and a strided FIR is ntaps
+fused multiply-adds over statically-strided views.
 """
 
 from __future__ import annotations
@@ -36,69 +43,93 @@ def design_decim_fir(decim: int, ntaps: int = 64) -> np.ndarray:
 
 
 class IqState(NamedTuple):
-    last_iq: jax.Array      # [S] complex64 — previous IQ sample
+    last_i: jax.Array       # [S] float32 — previous IQ sample, I rail
+    last_q: jax.Array       # [S] float32 — previous IQ sample, Q rail
     fir_history: jax.Array  # [S, ntaps] float32 — decimator history
 
 
 def init_iq(n_streams: int, ntaps: int = 64) -> IqState:
+    # the discriminator's "before stream start" sample is 1+0j
     return IqState(
-        last_iq=jnp.ones((n_streams,), dtype=jnp.complex64),
+        last_i=jnp.ones((n_streams,), dtype=jnp.float32),
+        last_q=jnp.zeros((n_streams,), dtype=jnp.float32),
         fir_history=jnp.zeros((n_streams, ntaps), dtype=jnp.float32),
     )
 
 
-def fm_discriminate(iq: jax.Array, last_iq: jax.Array,
-                    scale: Optional[float] = None) -> Tuple[jax.Array, jax.Array]:
-    """Phase-difference FM discriminator.
+def fm_discriminate(i: jax.Array, q: jax.Array,
+                    last_i: jax.Array, last_q: jax.Array,
+                    scale: Optional[float] = None
+                    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Phase-difference FM discriminator on split rails.
 
-    iq: complex64 [S, T].  Returns (audio-float [S, T], new last_iq).
-    Output scaled so a pi rad/sample swing maps to int16 full scale,
-    matching the soundcard-audio amplitude regime the FIR expects.
+    i/q: float32 [S, T].  d = z[n] * conj(z[n-1]); audio =
+    atan2(Im d, Re d).  Output scaled so a pi rad/sample swing maps to
+    int16 full scale, matching the soundcard-audio amplitude regime.
+    Returns (audio [S, T] float32, new last_i, new last_q).
     """
     if scale is None:
         scale = 32767.0 / np.pi
-    prev = jnp.concatenate([last_iq[:, None], iq[:, :-1]], axis=1)
-    d = iq * jnp.conj(prev)
-    audio = jnp.arctan2(jnp.imag(d), jnp.real(d)) * scale
-    return audio.astype(jnp.float32), iq[:, -1]
+    pi_ = jnp.concatenate([last_i[:, None], i[:, :-1]], axis=1)
+    pq_ = jnp.concatenate([last_q[:, None], q[:, :-1]], axis=1)
+    re = i * pi_ + q * pq_
+    im = q * pi_ - i * pq_
+    audio = jnp.arctan2(im, re) * scale
+    return audio.astype(jnp.float32), i[:, -1], q[:, -1]
 
 
 def decimate(x: jax.Array, history: jax.Array, taps: jax.Array,
-             decim: int) -> Tuple[jax.Array, jax.Array]:
-    """Anti-alias FIR + decim:1 downsample.
+             decim: int, chunk: int = 16384
+             ) -> Tuple[jax.Array, jax.Array]:
+    """Anti-alias FIR + decim:1 downsample (polyphase slice form).
 
     x: float32 [S, T] (T divisible by decim); history: [S, ntaps].
-    Returns ([S, T//decim], new history).
+    out[j] = sum_m taps_rev[m] * xx[j*decim + m] over the ntaps window
+    ending just before position (j+1)*decim — identical indexing to
+    the previous VALID strided convolution.  Returns
+    ([S, T//decim], new history).
+
+    The ntaps shifted strided slices defeat XLA fusion at large T
+    (each materializes [S, T/decim] — a wide-stream superblock OOMed
+    HBM by 35 GB), so long inputs are processed in ``chunk``-sample
+    pieces: identical arithmetic per output sample, bounded temps.
     """
     ntaps = taps.shape[0]
-    xx = jnp.concatenate([history, x], axis=1)
     t = x.shape[1]
-    # filtered[n] = sum_k taps[k] * xx[n + ntaps - k] — standard causal
-    # conv; then take every decim-th output
-    lhs = xx[:, None, :]
-    rhs = taps[::-1][None, None, :]
-    y = jax.lax.conv_general_dilated(
-        lhs, rhs, window_strides=(decim,), padding="VALID",
-        dimension_numbers=("NCW", "OIW", "NCW"),
-        precision=jax.lax.Precision.HIGHEST,
-    )[:, 0, :]
-    y = y[:, : t // decim]
-    new_history = xx[:, t : t + ntaps]
+    if t > chunk:
+        outs = []
+        h = history
+        for off in range(0, t, chunk):
+            y, h = decimate(x[:, off:off + chunk], h, taps, decim,
+                            chunk=chunk)
+            outs.append(y)
+        return jnp.concatenate(outs, axis=1), h
+    xx = jnp.concatenate([history, x], axis=1)
+    t_out = t // decim
+    rev = taps[::-1]
+    y = None
+    for m in range(ntaps):
+        term = rev[m] * jax.lax.slice_in_dim(
+            xx, m, m + t_out * decim, stride=decim, axis=1)
+        y = term if y is None else y + term
+    new_history = xx[:, t: t + ntaps]
     return y, new_history
 
 
-def iq_frontend(iq: jax.Array, state: IqState, taps: jax.Array,
-                decim: int) -> Tuple[jax.Array, IqState]:
-    """Full front-end: IQ [S, T_iq] -> int16-range float audio
+def iq_frontend(i: jax.Array, q: jax.Array, state: IqState,
+                taps: jax.Array, decim: int
+                ) -> Tuple[jax.Array, IqState]:
+    """Full front-end: I/Q rails [S, T_iq] -> int16-range float audio
     [S, T_iq/decim] at 48 kHz + new state."""
-    audio_hi, last_iq = fm_discriminate(iq, state.last_iq)
+    audio_hi, li, lq = fm_discriminate(i, q, state.last_i, state.last_q)
     audio, fir_hist = decimate(audio_hi, state.fir_history, taps, decim)
-    return audio, IqState(last_iq, fir_hist)
+    return audio, IqState(li, lq, fir_hist)
 
 
-def iq_to_int16_audio(iq: jax.Array, state: IqState, taps: jax.Array,
-                      decim: int) -> Tuple[jax.Array, IqState]:
+def iq_to_int16_audio(i: jax.Array, q: jax.Array, state: IqState,
+                      taps: jax.Array, decim: int
+                      ) -> Tuple[jax.Array, IqState]:
     """Convenience wrapper rounding to int16 so the audio path is
     byte-compatible with a recorded soundcard capture."""
-    audio, st = iq_frontend(iq, state, taps, decim)
+    audio, st = iq_frontend(i, q, state, taps, decim)
     return jnp.clip(jnp.round(audio), -32768, 32767).astype(jnp.int16), st

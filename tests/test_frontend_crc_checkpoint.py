@@ -38,7 +38,10 @@ def test_iq_frontend_decodes(decim):
     iq = _audio_to_iq(audio, decim)
     taps = jnp.asarray(design_decim_fir(decim))
     st = init_iq(1, ntaps=taps.shape[0])
-    out, st = iq_to_int16_audio(jnp.asarray(iq[None, :]), st, taps, decim)
+    out, st = iq_to_int16_audio(
+        jnp.asarray(iq[None, :].real.astype(np.float32)),
+        jnp.asarray(iq[None, :].imag.astype(np.float32)),
+        st, taps, decim)
     out_np = np.asarray(out)[0]
     # decode the discriminated audio through the golden chain
     rx = GoldenReceiver("A")

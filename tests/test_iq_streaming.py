@@ -56,8 +56,11 @@ def test_chunked_equals_oneshot_bitexact(tmp_path):
 
     m = (n // DECIM) * DECIM
     taps = jnp.asarray(design_decim_fir(DECIM, 64))
-    iq2 = jnp.asarray(np.stack([iq_a[:m], iq_b[:m]]))
-    oneshot, _ = iq_to_int16_audio(iq2, init_iq(2, 64), taps, DECIM)
+    stacked = np.stack([iq_a[:m], iq_b[:m]])
+    oneshot, _ = iq_to_int16_audio(
+        jnp.asarray(stacked.real.astype(np.float32)),
+        jnp.asarray(stacked.imag.astype(np.float32)),
+        init_iq(2, 64), taps, DECIM)
     oneshot = np.asarray(oneshot)
     inter = np.empty(oneshot.shape[1] * 2, np.int16)
     inter[0::2] = oneshot[0]

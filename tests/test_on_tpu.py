@@ -290,3 +290,40 @@ def test_tpu_flagship_mode_packet_parity():
         assert np.array_equal(v.length[s, :k], m.length[s, :k])
         assert np.abs(v.start[s, :k] - m.start[s, :k]).max(initial=0) <= 2
         assert np.abs(v.end[s, :k] - m.end[s, :k]).max(initial=0) <= 2
+
+
+def test_tpu_iq_frontend_demodulates_on_silicon():
+    """The split-rail IQ front-end (no complex64, no conv — this
+    plugin implements neither) must demodulate on the real TPU and
+    yield audio whose decoded frames equal the CPU front-end's.
+    (Float atan2/multiply may differ by ulps between backends, so the
+    contract is packet-level, not sample-level.)"""
+    _require_tpu()
+    from gnuais_tpu.ops.discriminator import (design_decim_fir, init_iq,
+                                              iq_to_int16_audio)
+    from gnuais_tpu.golden.model import GoldenReceiver
+
+    decim = 4
+    rng = np.random.default_rng(53)
+    audio = E.synthesize_capture([E.random_payload(rng)
+                                  for _ in range(3)], gap_bits=64)
+    x = np.repeat(audio.astype(np.float64) / 32767.0, decim)
+    phase = 2 * np.pi * np.cumsum(x * 2400.0) / (48000.0 * decim)
+    ii = np.cos(phase).astype(np.float32)[None, :]
+    qq = np.sin(phase).astype(np.float32)[None, :]
+    taps = jnp.asarray(design_decim_fir(decim))
+
+    outs = {}
+    for name, dev in (("cpu", _cpu()), ("tpu", _tpu())):
+        out, _ = iq_to_int16_audio(
+            jax.device_put(jnp.asarray(ii), dev),
+            jax.device_put(jnp.asarray(qq), dev),
+            jax.device_put(init_iq(1), dev),
+            jax.device_put(taps, dev), decim)
+        outs[name] = np.asarray(out)[0]
+
+    for name, out in outs.items():
+        g = GoldenReceiver("A")
+        frames = g.run_block(out)
+        assert len(frames) == 3, (name, len(frames))
+        assert all(f.crc_ok for f in frames), name
