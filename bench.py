@@ -207,6 +207,9 @@ def run_bench(n_streams: int = 256, block_len: int = 49_152,
             kflags={**kflags, "assume_full": fast}, fast=fast,
             device_crc=device_crc))
         extra.update(_measure_timepar())
+        # free the flagship input set (up to ~10 GB of HBM) before the
+        # IQ measure allocates its f32 rails — holding both OOMed
+        del bufs, xj, x, c, d, batch, frames, carry1, fb0
         extra.update(_measure_iq())
     return sps, extra
 

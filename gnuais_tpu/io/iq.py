@@ -27,11 +27,9 @@ from the samples preceding the resume point).
 from __future__ import annotations
 
 import functools
-from typing import Iterator, Optional
+from typing import Iterator
 
 import numpy as np
-
-from gnuais_tpu.constants import SAMPLE_RATE
 
 
 class IqStreamReader:

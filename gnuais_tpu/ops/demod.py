@@ -482,18 +482,19 @@ def compact_candidates(frames: FrameBatch, cand_valid: jax.Array,
     TPU-native formulation: a slot-scatter serializes on TPU (measured
     ~6 ms/block at S=1024, K=384 — as long as the whole fused decode
     kernel), so the compaction is expressed as a batched one-hot MATMUL
-    instead: hit[s, k, j] = (candidate k lands in slot j), and every
-    payload rides ``einsum('skj,skd->sjd')`` onto the MXU.  Exactness:
-    at most one candidate hits a slot (destinations are strictly
-    increasing), so every output element is a SINGLE product of two
-    <= 8-bit-exact values — bf16 represents both operands and the
-    product exactly and no accumulation ever rounds.  The features are
-    therefore built directly in bf16 and the einsum runs at DEFAULT
-    precision (one MXU pass): 16-bit pieces WERE corrupted by that
-    lowering on real TPUs (hence the 8-bit split), and the previous
-    f32/HIGHEST formulation cost ~3.7 ms/block at S=1024 — over half
-    the decode step — in 6x MXU passes over a 110 MB f32 feature
-    tensor."""
+    instead: hit[s, k, j] = (candidate k lands in slot j), and the
+    small per-candidate fields ride ``einsum('skj,skd->sjd')`` onto the
+    MXU as 8-bit byte planes, INCLUDING the candidate's own index k —
+    the register words then come from one ``take_along_axis`` gather
+    over the <= frame_slots landed destinations (byte-splitting the 15
+    words into 60 planes of a ~99%-empty [S, K] tensor dominated the
+    old feature build: dropping it bought ~36% of the whole decode
+    step).  Exactness: at most one candidate hits a slot (destinations
+    are strictly increasing), so every einsum output element is a
+    SINGLE product of two <= 8-bit-exact values — bf16 represents both
+    operands and the product exactly and no accumulation ever rounds;
+    the default one-pass bf16 lowering corrupted 16-bit pieces on real
+    TPUs, hence the 8-bit split."""
     s, k = cand_valid.shape
     frame_slots = frames.words.shape[1]
     dst = jnp.cumsum(cand_valid.astype(jnp.int32), axis=1) - 1 \

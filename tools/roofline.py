@@ -1,16 +1,28 @@
 #!/usr/bin/env python
-"""Latency roofline for the fused decode kernel.
+"""Chain-latency roofline for the fused decode kernel.
 
 The flagship kernel is NOT issue-bound: removing the 23-op lobe FIR
 (fir_mode="mxu") moves throughput by only ~3.5 %, and the round-4 op
 diet (valid-gate elision + HDLC where-chain merge, ~8 ops/sample)
 moved it by ~0 — so "ops x issue rate" does not predict its speed.
-The wall is the LATENCY of the sequential per-sample recurrence.
+This tool tests the next hypothesis: that the wall is the LATENCY of
+the sequential per-sample recurrence.
 
-This tool measures that wall directly: calibration Pallas kernels that
-run ONLY the dependent chains, in registers, with no HBM input or
-output per step (state lives in VMEM scratch; the "filtered sample"
-is synthesized by a 2-op LCG so nothing const-folds):
+Round-4 verdict: it is NOT — the measured chains (dpll 9 ns, +hdlc
+40 ns, +shift 51 ns per step at [32,128]) sit ~4x above the full
+kernel's achieved rate, so the recurrence leaves headroom.  The real
+costs found by honest bisection (tools/diag_strip.py) were the
+guarded per-slot snapshot (+14 % when unguarded) and the candidate
+compaction outside the kernel (+36 % after the k-index/gather rework);
+the residual ~220 ns/step floor is Mosaic scheduling of the unrolled
+body (loads, state round-trips), insensitive to unroll depth and time
+chunk size.  The tool stays as the calibration harness for future
+kernel work.
+
+Calibration kernels run ONLY the dependent chains, in registers, with
+no HBM input or output per step (state lives in VMEM scratch; the
+"filtered sample" is synthesized by a 2-op LCG so nothing
+const-folds):
 
   dpll        the exact DPLL recurrence ops (receiver.c:109-135
               semantics as compiled in ops/fused.py)
@@ -26,7 +38,6 @@ state tile (forces completion; the axon tunnel lies otherwise), median
 of >= 5 iterations, LCG-seeded so no two dispatches are identical.
 """
 
-import functools
 import os
 import sys
 import time
