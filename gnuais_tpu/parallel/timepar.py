@@ -180,8 +180,12 @@ def time_parallel_decode(stream: np.ndarray, chunk_len: int = 65_536,
 
     if dense_cap is not None:
         dense = demod.dense_frames(frames, dense_cap)
-        if int(dense.over) == 0:
-            per = pl.extract_dense(dense, k)
+        # one round trip for both scalars (trip latency through a
+        # tunnel dominates this mode's wall, not bytes)
+        over, total = (int(v) for v in
+                       np.asarray(jnp.stack([dense.over, dense.total])))
+        if over == 0:
+            per = pl.extract_dense(dense, k, total=total)
             out2: List[Tuple[int, int, Frame]] = []
             bad2: List[int] = []
             for i, lst in enumerate(per):

@@ -268,24 +268,50 @@ def extract_frames(frames: demod.FrameBatch) -> List[List[Frame]]:
     return out
 
 
-def extract_dense(dense, n_streams: int
+@functools.partial(jax.jit, static_argnames=("bucket",))
+def _pack_dense(dense, bucket: int):
+    """One flat int32 buffer carrying the first ``bucket`` dense rows'
+    words+length+start+end+stream — so the host drain costs ONE
+    device->host transfer instead of five (each round trip through a
+    slow link pays fixed latency; at a few hundred frames the bytes
+    are trivial but five trips were the single-stream mode's wall)."""
+    w = jax.lax.bitcast_convert_type(dense.words[:bucket],
+                                     jnp.int32).reshape(-1)
+    return jnp.concatenate([
+        w, dense.length[:bucket], dense.start[:bucket],
+        dense.end[:bucket], dense.stream[:bucket]])
+
+
+def extract_dense(dense, n_streams: int,
+                  total: Optional[int] = None
                   ) -> List[List[Tuple[int, int, Frame]]]:
     """Host drain of a demod.DenseFrames: per-stream lists of
-    (absolute_start, absolute_end, Frame) in arrival order.  Transfers
-    exactly ``total`` frames' worth of data (plus the fixed [cap]
-    buffers).
+    (absolute_start, absolute_end, Frame) in arrival order.
+
+    Round-trip diet: ``total`` comes back first (the caller usually
+    already synced ``over``), then ONE packed transfer of the occupied
+    rows rounded up to a power-of-two bucket (static shapes, so at
+    most log2(cap) jit specializations ever compile).
 
     Reuses the native C++ drain by treating each dense row as a 1-slot
     pseudo-stream."""
-    total = int(dense.total)
-    words = np.asarray(dense.words[:max(total, 1)])
-    length = np.asarray(dense.length[:max(total, 1)])
-    start = np.asarray(dense.start[:max(total, 1)])
-    end = np.asarray(dense.end[:max(total, 1)])
-    stream = np.asarray(dense.stream[:max(total, 1)])
+    if total is None:
+        total = int(dense.total)
     out: List[List[Tuple[int, int, Frame]]] = [[] for _ in range(n_streams)]
     if total == 0:
         return out
+    cap = dense.length.shape[0]
+    bucket = 1
+    while bucket < total:
+        bucket *= 2
+    bucket = min(bucket, cap)
+    nw = dense.words.shape[1]
+    flat = np.asarray(_pack_dense(dense, bucket))
+    words = flat[:bucket * nw].reshape(bucket, nw).view(np.uint32)
+    length = flat[bucket * nw + 0 * bucket: bucket * nw + 1 * bucket]
+    start = flat[bucket * nw + 1 * bucket: bucket * nw + 2 * bucket]
+    end = flat[bucket * nw + 2 * bucket: bucket * nw + 3 * bucket]
+    stream = flat[bucket * nw + 3 * bucket: bucket * nw + 4 * bucket]
     from gnuais_tpu import native
     if native.available():
         counts = np.ones(total, dtype=np.int32)
