@@ -256,6 +256,36 @@ def dedup_by_start(seq: List[tuple],
     return out
 
 
+@jax.jit
+def _pack_timepar(tp: TimeParFrames) -> jax.Array:
+    """All TimeParFrames leaves as ONE flat int32 buffer: the host
+    drain then costs a single device->host transfer instead of six —
+    round-trip latency through a slow link dominates at these sizes
+    (the arrays are a few KB per push)."""
+    return jnp.concatenate([
+        jax.lax.bitcast_convert_type(tp.words, jnp.int32).reshape(-1),
+        tp.length.reshape(-1), tp.start.reshape(-1),
+        tp.end.reshape(-1), tp.count.reshape(-1),
+        tp.lost2.reshape(-1)])
+
+
+def _unpack_timepar(tp: TimeParFrames):
+    """Host-side split of _pack_timepar's buffer back into numpy
+    views shaped like the TimeParFrames leaves (peak excluded — the
+    callers that need it fetch it separately)."""
+    flat = np.asarray(_pack_timepar(tp))
+    shapes = [tp.words.shape, tp.length.shape, tp.start.shape,
+              tp.end.shape, tp.count.shape, tp.lost2.shape]
+    out = []
+    off = 0
+    for sh in shapes:
+        n = int(np.prod(sh))
+        out.append(flat[off:off + n].reshape(sh))
+        off += n
+    out[0] = out[0].view(np.uint32)
+    return out
+
+
 def drain_timepar_frames(tp: TimeParFrames, frame_slots: int,
                          prev_starts: List[int] | None = None,
                          with_stats: bool = False,
@@ -279,11 +309,7 @@ def drain_timepar_frames(tp: TimeParFrames, frame_slots: int,
     session) that merge several rows of the same logical channel and
     must dedup across the row seams themselves (dedup_by_start is
     idempotent, so double-deduping the interior is harmless)."""
-    words = np.asarray(tp.words)
-    length = np.asarray(tp.length)
-    start = np.asarray(tp.start)
-    end = np.asarray(tp.end)
-    count = np.asarray(tp.count)
+    words, length, start, end, count, _l2 = _unpack_timepar(tp)
     s, nt = count.shape
     w = words.reshape(s * nt, frame_slots, words.shape[-1])
     ln = length.reshape(s * nt, frame_slots)
