@@ -305,10 +305,12 @@ def drain_timepar_frames(tp: TimeParFrames, frame_slots: int,
     ``prev_bad_starts`` chains their dedup across super-blocks.
 
     raw=True returns the UN-deduped per-stream lists instead:
-    (ok_lists, bad_start_lists) — for callers (the grouped mesh
-    session) that merge several rows of the same logical channel and
-    must dedup across the row seams themselves (dedup_by_start is
-    idempotent, so double-deduping the interior is harmless)."""
+    (ok_lists, bad_start_lists, lost2 [S, nt] numpy) — for callers
+    (the grouped mesh session) that merge several rows of the same
+    logical channel and must dedup across the row seams themselves
+    (dedup_by_start is idempotent, so double-deduping the interior is
+    harmless).  with_stats=True likewise appends the lost2 array to
+    its return so no caller pays a second device round trip for it."""
     words, length, start, end, count, _l2 = _unpack_timepar(tp)
     s, nt = count.shape
     w = words.reshape(s * nt, frame_slots, words.shape[-1])
@@ -350,7 +352,7 @@ def drain_timepar_frames(tp: TimeParFrames, frame_slots: int,
                         bad[stream].append(
                             (int(start[stream, base + k]),))
     if raw:
-        return out, bad
+        return out, bad, _l2
     kept = [dedup_by_start(lst, prev_starts[i] if prev_starts else None)
             for i, lst in enumerate(out)]
     if not with_stats:
@@ -362,4 +364,4 @@ def drain_timepar_frames(tp: TimeParFrames, frame_slots: int,
     bad_last = [(lst[-1][0] if lst else
                  (prev_bad_starts[i] if prev_bad_starts else -10 ** 9))
                 for i, lst in enumerate(bad)]
-    return kept, bad_counts, bad_last
+    return kept, bad_counts, bad_last, _l2

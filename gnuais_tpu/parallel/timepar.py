@@ -291,7 +291,8 @@ class TimeParSession:
         tp = self.step(jnp.asarray(block), jnp.int32(valid_end),
                        jnp.int32(base), jnp.asarray(self._prev_tail),
                        jnp.asarray(next_head))
-        per_stream, bad_counts, bad_last = self._sh.drain_timepar_frames(
+        (per_stream, bad_counts, bad_last,
+         l2) = self._sh.drain_timepar_frames(
             tp, self.frame_slots, prev_starts=self._last_starts,
             with_stats=True, prev_bad_starts=self._last_bad)
         self._last_starts = [
@@ -299,7 +300,7 @@ class TimeParSession:
              (self._last_starts[i] if self._last_starts else -10 ** 9))
             for i, lst in enumerate(per_stream)]
         self._last_bad = bad_last
-        lost2 = np.asarray(tp.lost2).sum(axis=1)
+        lost2 = l2.sum(axis=1)
         for i, lst in enumerate(per_stream):
             self.received[i] += len(lst)
             self.wrong_crc[i] += bad_counts[i]
@@ -422,9 +423,9 @@ class GroupedTimeParSession:
         """Offset each row's local frames to channel-absolute positions,
         merge the rows of each channel in segment order, dedup across
         row seams and pushes, update counters."""
-        ok_rows, bad_rows = self._sh.drain_timepar_frames(
+        ok_rows, bad_rows, l2 = self._sh.drain_timepar_frames(
             tp, self.frame_slots, raw=True)
-        lost2 = np.asarray(tp.lost2).sum(axis=1)
+        lost2 = l2.sum(axis=1)
         out = []
         for ci in range(self.n_channels):
             merged = []
@@ -504,9 +505,9 @@ class GroupedTimeParSession:
                            jnp.int32(min(data_end, seg_base + sbr + ext)),
                            jnp.int32(seg_base), jnp.asarray(prev_tail),
                            jnp.asarray(head))
-            ok_rows, bad_rows = self._sh.drain_timepar_frames(
+            ok_rows, bad_rows, l2 = self._sh.drain_timepar_frames(
                 tp, self.frame_slots, raw=True)
-            lost2 = np.asarray(tp.lost2).sum(axis=1)
+            lost2 = l2.sum(axis=1)
             for ci in range(self.n_channels):
                 kept = self._sh.dedup_by_start(ok_rows[ci],
                                                self._last_starts[ci])
