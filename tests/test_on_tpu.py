@@ -327,3 +327,52 @@ def test_tpu_iq_frontend_demodulates_on_silicon():
         frames = g.run_block(out)
         assert len(frames) == 3, (name, len(frames))
         assert all(f.crc_ok for f in frames), name
+
+
+def test_tpu_cli_mesh_smoke():
+    """The PRODUCT path on silicon: the CLI's meshshape streaming
+    decode runs on the real TPU (fused kernel, TimeParSession, drains)
+    and its stdout + counters are byte-identical to the CPU sequential
+    session.  Pins the whole user-facing chain compiled-on-chip, not
+    just the kernel entry points."""
+    _require_tpu()
+    import subprocess
+    import sys as _sys
+    import tempfile
+
+    from gnuais_tpu.golden import encoder as _E
+
+    rng = np.random.default_rng(1001)
+    audio = _E.synthesize_capture([_E.random_payload(rng)
+                                   for _ in range(12)], gap_bits=600)
+    noisy = np.clip(audio + rng.normal(0, 200, len(audio)),
+                    -32768, 32767).astype(np.int16)
+    tmp = tempfile.mkdtemp()
+    cap = os.path.join(tmp, "c.raw")
+    noisy.tofile(cap)
+
+    def run(conf_text, name, on_tpu):
+        p = os.path.join(tmp, name)
+        with open(p, "w") as f:
+            f.write(conf_text)
+        env = dict(os.environ, XDG_CONFIG_HOME=tmp,
+                   JAX_COMPILATION_CACHE_DIR=os.path.join(
+                       os.path.dirname(os.path.dirname(
+                           os.path.abspath(__file__))), ".jax_cache"))
+        if on_tpu:
+            env.pop("JAX_PLATFORMS", None)
+        else:
+            env["JAX_PLATFORMS"] = "cpu"
+        r = subprocess.run(
+            [_sys.executable, "-m", "gnuais_tpu.cli", "-c", p],
+            capture_output=True, text=True, timeout=900, env=env,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        assert r.returncode == 0, r.stderr[-500:]
+        return r
+
+    mesh = run(f"soundchannels mono\nmeshshape 1 1\ntimeparblock 4096\n"
+               f"soundinfile {cap}\n", "m.conf", on_tpu=True)
+    seq = run(f"soundchannels mono\nsoundinfile {cap}\n", "s.conf",
+              on_tpu=False)
+    assert seq.stdout.splitlines(), "fixture decoded nothing"
+    assert mesh.stdout.splitlines() == seq.stdout.splitlines()
