@@ -50,7 +50,7 @@ LANES = 128
 
 
 def make_chain_kernel(sublanes: int, steps: int, mode: str,
-                      unroll: int = 32):
+                      unroll: int = 32, time_chunk: int = 512):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -63,6 +63,14 @@ def make_chain_kernel(sublanes: int, steps: int, mode: str,
 
     with_hdlc = "hdlc" in mode
     with_shift = "shift" in mode
+    with_stream = "stream" in mode
+
+    if with_stream:
+        # same grid structure as the real kernel: int16 input tiles
+        # stream HBM->VMEM per grid step and the per-body load+cast
+        # feeds the chain — isolates the cost of input streaming itself
+        return _make_streamed_kernel(sublanes, steps, mode, unroll,
+                                     time_chunk)
 
     def kernel(seed_ref, out_ref, state, hst, sreg):
         @pl.when(pl.program_id(0) == 0)
@@ -137,6 +145,105 @@ def make_chain_kernel(sublanes: int, steps: int, mode: str,
     )
 
 
+def _make_streamed_kernel(sublanes: int, steps: int, mode: str,
+                          unroll: int, time_chunk: int):
+    """Chain kernel with REAL grid-streamed int16 input (the same
+    BlockSpec structure as the production kernel): per grid step a
+    [time_chunk, sb, 128] int16 tile arrives from HBM and each body
+    loads+casts its unroll slice to feed the slicer."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gnuais_tpu import constants as C
+    from gnuais_tpu.ops.fused import (HDLC_VARS, _hdlc_slot_tiles,
+                                      _single_shift)
+    from gnuais_tpu.ops.demod import REG_WORDS
+
+    with_hdlc = "hdlc" in mode
+    with_shift = "shift" in mode
+    cpt = steps // time_chunk
+    LANES_ = 128
+
+    def kernel(x_ref, out_ref, state, hst, sreg):
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            state[1] = jnp.zeros((sublanes, LANES_), jnp.int32)
+            state[2] = jnp.zeros((sublanes, LANES_), jnp.int32)
+            state[3] = jnp.zeros((sublanes, LANES_), jnp.int32)
+            hst[:] = jnp.zeros(hst.shape, jnp.int32)
+            sreg[:] = jnp.zeros(sreg.shape, jnp.uint32)
+
+        def body(u, _):
+            base = u * unroll
+            x8 = x_ref[pl.ds(base, unroll)].astype(jnp.float32)
+            pll = state[1]
+            prev = state[2]
+            lastbit = state[3]
+            hv = tuple(hst[i] for i in range(HDLC_VARS))
+            srg = [sreg[w] for w in range(REG_WORDS)]
+            acc = None
+            for k in range(unroll):
+                curr = (x8[k] > 0.0).astype(jnp.int32)
+                trans = curr ^ prev
+                nudge = jnp.where(pll < C.PLL_CENTER, C.PLL_NUDGE,
+                                  -C.PLL_NUDGE)
+                pll_adv = pll + trans * nudge + C.PLL_INC
+                emit_b = pll_adv > 0xFFFF
+                bit = 1 - (curr ^ lastbit)
+                pll = pll_adv & 0xFFFF
+                lastbit = jnp.where(emit_b, curr, lastbit)
+                prev = curr
+                code = jnp.where(emit_b, 8 | (bit << 2) | (k & 3), 0)
+                acc = code if acc is None else acc | code
+                if (k & 3) == 3:
+                    if with_hdlc:
+                        gval = acc >= 8
+                        gbit = (acc >> 2) & 1
+                        spos = jnp.full_like(acc, u * unroll + k)
+                        hv, app, emit, flen, bad = _hdlc_slot_tiles(
+                            hv, gbit, gval, spos)
+                        if with_shift:
+                            srg = _single_shift(srg, gbit, app)
+                    acc = None
+            state[1] = pll
+            state[2] = prev
+            state[3] = lastbit
+            for i in range(HDLC_VARS):
+                hst[i] = hv[i]
+            for w in range(REG_WORDS):
+                sreg[w] = srg[w]
+            return 0
+
+        jax.lax.fori_loop(0, time_chunk // unroll, body, 0)
+
+        @pl.when(pl.program_id(0) == cpt - 1)
+        def _():
+            out_ref[:] = state[1]
+
+    inner = pl.pallas_call(
+        kernel,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        grid=(cpt,),
+        in_specs=[pl.BlockSpec((time_chunk, sublanes, LANES_),
+                               lambda i: (i, 0, 0))],
+        out_specs=pl.BlockSpec((sublanes, LANES_), lambda i: (0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((4, sublanes, LANES_), jnp.int32),
+            pltpu.VMEM((HDLC_VARS, sublanes, LANES_), jnp.int32),
+            pltpu.VMEM((REG_WORDS, sublanes, LANES_), jnp.uint32),
+        ],
+        out_shape=jax.ShapeDtypeStruct((sublanes, LANES_), jnp.int32),
+    )
+
+    build = jax.jit(lambda seed: (
+        jnp.tile(seed.astype(jnp.int16)[None], (steps, 1, 1))
+        + (jnp.arange(steps, dtype=jnp.int16) % 251)[:, None, None]))
+    return jax.jit(inner), build
+
+
 def measure(fn, seed0, iters=7):
     """Min-of-N: the tunnel adds tens of ms of one-sided jitter, so the
     minimum is the best estimator of dispatch+device time."""
@@ -179,14 +286,36 @@ def main():
     floor = measure(make_chain_kernel(sublanes, 32, "dpll"), seed0)
     print(f"  dispatch floor    : {floor*1e3:8.2f} ms")
     results = {}
-    for mode in ("dpll", "dpll+hdlc", "dpll+hdlc+shift"):
-        fn = make_chain_kernel(sublanes, steps, mode)
-        dt = measure(fn, seed0)
+    for mode in ("dpll", "dpll+hdlc", "dpll+hdlc+shift",
+                 "stream+dpll", "stream+dpll+hdlc+shift"):
+        if "stream" in mode:
+            # streamed-input modes: PRE-materialize distinct int16
+            # input variants (every timed dispatch must be unique or
+            # the plugin serves cached results) and time only the
+            # kernel.  Shrink steps so several variants fit HBM.
+            st = min(steps, 1 << 17)
+            inner, build = make_chain_kernel(sublanes, st, mode)
+            import jax.numpy as jnp
+            # 5 distinct variants: one for the compile call, four for
+            # the timed loop — NO dispatch may ever repeat (the plugin
+            # dedup serves cached results for repeats)
+            xs = [build(jnp.asarray(seed0 + v)) for v in range(5)]
+            jax.block_until_ready(xs)
+            _ = np.asarray(inner(xs[4]))         # compile
+            times = []
+            for k in range(4):
+                t0 = time.time()
+                _ = np.asarray(inner(xs[k]))
+                times.append(time.time() - t0)
+            dt, n_steps = min(times), st
+        else:
+            fn = make_chain_kernel(sublanes, steps, mode)
+            dt, n_steps = measure(fn, seed0), steps
         dev = max(dt - floor, 1e-9)
-        sps = steps * lanes / dev
-        ns = dev / steps * 1e9
+        sps = n_steps * lanes / dev
+        ns = dev / n_steps * 1e9
         results[mode] = sps
-        print(f"  {mode:18s}: {dt*1e3:8.2f} ms total  "
+        print(f"  {mode:22s}: {dt*1e3:8.2f} ms total  "
               f"({ns:6.1f} ns/step device)  -> {sps/1e9:6.2f} "
               f"Gsamp/s-equivalent")
     print()
