@@ -163,21 +163,46 @@ def _make_streamed_kernel(sublanes: int, steps: int, mode: str,
 
     with_hdlc = "hdlc" in mode
     with_shift = "shift" in mode
+    with_fir = "fir" in mode
+    n_dummy = 16 if "blocks" in mode else 0
     cpt = steps // time_chunk
+    # loop PASSES x over the same input blocks (index map i % cpt): the
+    # effective step count grows past the dispatch floor's noise without
+    # more HBM — the dispatch is still unique per call (distinct input
+    # arrays), so the dedup cannot serve it
+    passes = max(1, (1 << 22) // steps)
     LANES_ = 128
+    from gnuais_tpu.ops.fused import LOBE_HI, LOBE_LO, _TAPS_F32
+    from gnuais_tpu import constants as C2
 
-    def kernel(x_ref, out_ref, state, hst, sreg):
+    def kernel(x_ref, *rest):
+        # rest = [dummy_in...]*n_dummy, out_ref, [dummy_out...]*n_dummy,
+        #        state, hist, hst, sreg
+        dummy_in = rest[:n_dummy]
+        out_ref = rest[n_dummy]
+        dummy_out = rest[n_dummy + 1: 2 * n_dummy + 1]
+        state, hist, hst, sreg = rest[2 * n_dummy + 1:]
+
         @pl.when(pl.program_id(0) == 0)
         def _():
             state[1] = jnp.zeros((sublanes, LANES_), jnp.int32)
             state[2] = jnp.zeros((sublanes, LANES_), jnp.int32)
             state[3] = jnp.zeros((sublanes, LANES_), jnp.int32)
+            hist[:] = jnp.zeros(hist.shape, jnp.float32)
             hst[:] = jnp.zeros(hst.shape, jnp.int32)
             sreg[:] = jnp.zeros(sreg.shape, jnp.uint32)
+
+        for j in range(n_dummy):
+            # touch each dummy carry block like the production kernel's
+            # i//cpt-mapped state specs (read once, write once)
+            dummy_out[j][:] = dummy_in[j][:]
 
         def body(u, _):
             base = u * unroll
             x8 = x_ref[pl.ds(base, unroll)].astype(jnp.float32)
+            if with_fir:
+                win = [hist[i] for i in range(C2.FIR_LEN)]
+                win += [x8[k] for k in range(unroll)]
             pll = state[1]
             prev = state[2]
             lastbit = state[3]
@@ -185,7 +210,16 @@ def _make_streamed_kernel(sublanes: int, steps: int, mode: str,
             srg = [sreg[w] for w in range(REG_WORDS)]
             acc = None
             for k in range(unroll):
-                curr = (x8[k] > 0.0).astype(jnp.int32)
+                if with_fir:
+                    # production lobe FIR: 8 symmetric-pair muls
+                    f = None
+                    for i in range(LOBE_LO, (LOBE_LO + LOBE_HI + 1) // 2):
+                        pair = win[k + i] + win[k + C2.FIR_LEN - 1 - i]
+                        term = pair * _TAPS_F32[i]
+                        f = term if f is None else f + term
+                    curr = (f > 0.0).astype(jnp.int32)
+                else:
+                    curr = (x8[k] > 0.0).astype(jnp.int32)
                 trans = curr ^ prev
                 nudge = jnp.where(pll < C.PLL_CENTER, C.PLL_NUDGE,
                                   -C.PLL_NUDGE)
@@ -214,34 +248,52 @@ def _make_streamed_kernel(sublanes: int, steps: int, mode: str,
                 hst[i] = hv[i]
             for w in range(REG_WORDS):
                 sreg[w] = srg[w]
+            if with_fir:
+                for i in range(C2.FIR_LEN):
+                    hist[i] = win[unroll + i]
             return 0
 
         jax.lax.fori_loop(0, time_chunk // unroll, body, 0)
 
-        @pl.when(pl.program_id(0) == cpt - 1)
+        @pl.when(pl.program_id(0) == passes * cpt - 1)
         def _():
             out_ref[:] = state[1]
 
+    dummy2 = pl.BlockSpec((sublanes, LANES_), lambda i: (0, 0))
     inner = pl.pallas_call(
         kernel,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-        grid=(cpt,),
+        grid=(passes * cpt,),
         in_specs=[pl.BlockSpec((time_chunk, sublanes, LANES_),
-                               lambda i: (i, 0, 0))],
-        out_specs=pl.BlockSpec((sublanes, LANES_), lambda i: (0, 0)),
+                               lambda i: (i % cpt, 0, 0))]
+        + [dummy2] * n_dummy,
+        out_specs=[dummy2] + [dummy2] * n_dummy,
         scratch_shapes=[
             pltpu.VMEM((4, sublanes, LANES_), jnp.int32),
+            pltpu.VMEM((36, sublanes, LANES_), jnp.float32),
             pltpu.VMEM((HDLC_VARS, sublanes, LANES_), jnp.int32),
             pltpu.VMEM((REG_WORDS, sublanes, LANES_), jnp.uint32),
         ],
-        out_shape=jax.ShapeDtypeStruct((sublanes, LANES_), jnp.int32),
+        out_shape=[jax.ShapeDtypeStruct((sublanes, LANES_), jnp.int32)]
+        + [jax.ShapeDtypeStruct((sublanes, LANES_), jnp.int32)] * n_dummy,
     )
+
+    if n_dummy:
+        def call(x):
+            ds = [jnp.zeros((sublanes, LANES_), jnp.int32)
+                  for _ in range(n_dummy)]
+            return inner(x, *ds)[0]
+    else:
+        def call(x):
+            return inner(x)[0]
 
     build = jax.jit(lambda seed: (
         jnp.tile(seed.astype(jnp.int16)[None], (steps, 1, 1))
         + (jnp.arange(steps, dtype=jnp.int16) % 251)[:, None, None]))
-    return jax.jit(inner), build
+    jcall = jax.jit(call)
+    jcall.effective_steps = passes * steps
+    return jcall, build
 
 
 def measure(fn, seed0, iters=7):
@@ -287,14 +339,17 @@ def main():
     print(f"  dispatch floor    : {floor*1e3:8.2f} ms")
     results = {}
     for mode in ("dpll", "dpll+hdlc", "dpll+hdlc+shift",
-                 "stream+dpll", "stream+dpll+hdlc+shift"):
+                 "stream+dpll", "stream+dpll+hdlc+shift",
+                 "stream+fir+dpll+hdlc+shift",
+                 "stream+blocks+dpll+hdlc+shift"):
         if "stream" in mode:
             # streamed-input modes: PRE-materialize distinct int16
             # input variants (every timed dispatch must be unique or
             # the plugin serves cached results) and time only the
             # kernel.  Shrink steps so several variants fit HBM.
             st = min(steps, 1 << 17)
-            inner, build = make_chain_kernel(sublanes, st, mode)
+            inner_j, build = make_chain_kernel(sublanes, st, mode)
+            inner = inner_j
             import jax.numpy as jnp
             # 5 distinct variants: one for the compile call, four for
             # the timed loop — NO dispatch may ever repeat (the plugin
@@ -307,7 +362,7 @@ def main():
                 t0 = time.time()
                 _ = np.asarray(inner(xs[k]))
                 times.append(time.time() - t0)
-            dt, n_steps = min(times), st
+            dt, n_steps = min(times), inner_j.effective_steps
         else:
             fn = make_chain_kernel(sublanes, steps, mode)
             dt, n_steps = measure(fn, seed0), steps
