@@ -55,8 +55,9 @@ def make_receiver_factory(cfg: Config):
             block = audio_io.reference_block_frames()
             fast = fused = False
         def factory(name):
-            lm = (LevelMonitor(name, cfg.sound_levellog)
-                  if cfg.sound_levellog else None)
+            # always attached: the >95 % overload warning fires even
+            # without a SoundLevelLog interval (receiver.c:137-147)
+            lm = LevelMonitor(name, cfg.sound_levellog)
             ckpt = (f"{cfg.checkpoint}.{name}.npz"
                     if cfg.checkpoint else None)
             return JaxReceiver(name, block_len=block,
@@ -169,12 +170,19 @@ class _TimeParDispatcher:
 
 
 def _mesh_decode(cfg: Config, chans, nch: int, block_iter, dispatcher,
-                 tee) -> tuple:
+                 tee, level_mons=None, stats_tick=None) -> tuple:
     """Streaming mesh decode: ``meshshape s t`` runs every channel row
     across a streams x time device mesh via TimeParSession — constant
     O(super_block) host memory, exact carry hand-off between
     super-blocks, works for files and live inputs alike.  Returns
-    (per-channel counters dict, samples per channel)."""
+    (per-channel counters dict, samples per channel).
+
+    level_mons: per-channel LevelMonitor list — the device step's
+    per-shard input peak (TimeParFrames.peak) feeds the reference's
+    level diagnostics (receiver.c:137-147) so a mesh deployment warns
+    on overload exactly like the sequential chain.  stats_tick: called
+    once per input block for StatsInterval range logging
+    (ais.c:250-262)."""
     import jax
 
     from gnuais_tpu.parallel import mesh as M
@@ -268,19 +276,30 @@ def _mesh_decode(cfg: Config, chans, nch: int, block_iter, dispatcher,
     def drain(per_stream, idx):
         if per_stream is None:
             return
+        if level_mons:
+            for ci in range(n_rows):
+                level_mons[ci].observe(sess.last_peak[ci])
         for ci in range(n_rows):
             dispatcher.add(ci, per_stream[ci])
         dispatcher.emit_until((idx + 1) * sb)
 
-    def push_buffer():
+    def push_buffer(final: bool = False):
         out = sess.push(buf.copy())
         drain(out, state["pushed"] - 1)
         state["pushed"] += 1
         state["fill"] = 0
         buf[:] = 0
-        save_ckpt()
+        # the final zero-padded partial push must not snapshot:
+        # consumed = pushed*sb would overcount by the padding, and a
+        # crash in that window would resume past the real input and
+        # decode the held block's padding as valid samples — a crash
+        # there simply resumes from the previous snapshot instead
+        if not final:
+            save_ckpt()
 
     for block in block_iter:
+        if stats_tick:
+            stats_tick()
         if tee:
             tee.write(np.asarray(block, dtype="<i2").tobytes())
         nf = len(block) // nch
@@ -307,7 +326,7 @@ def _mesh_decode(cfg: Config, chans, nch: int, block_iter, dispatcher,
     last_valid = None
     if state["fill"] > 0:
         last_valid = state["fill"]
-        push_buffer()
+        push_buffer(final=True)
     if state["pushed"] > 0:
         out = sess.flush(n_valid=last_valid)
         drain(out, state["pushed"] - 1)
@@ -321,8 +340,33 @@ def _mesh_decode(cfg: Config, chans, nch: int, block_iter, dispatcher,
     return counters, state["samples"]
 
 
+def _max_constant_run(x: np.ndarray) -> int:
+    """Longest run of consecutive equal samples (host scan, O(n))."""
+    n = len(x)
+    if n < 2:
+        return n
+    idx = np.flatnonzero(np.diff(np.asarray(x)) != 0)
+    if idx.size == 0:
+        return n
+    edges = np.concatenate([[-1], idx, [n - 1]])
+    return int(np.diff(edges).max())
+
+
+def _lanes_envelope_gap(interleaved, nch: int, chans) -> int:
+    """Largest constant-level run across the active channels — the
+    quantity that decides whether the lane overlap-resync envelope
+    holds (parallel/timepar.py:29-40: a constant-level gap longer than
+    the lead overlap leaves the DPLL phase a path-dependent random walk
+    that no bounded window reproduces)."""
+    worst = 0
+    for _name, ofs in chans:
+        stream = interleaved[ofs::nch] if nch > 1 else interleaved
+        worst = max(worst, _max_constant_run(stream))
+    return worst
+
+
 def _lanes_decode(cfg: Config, chans, nch: int, interleaved: np.ndarray,
-                  dispatcher, tee) -> tuple:
+                  dispatcher, tee, level_mons=None) -> tuple:
     """Whole-capture lane decode: the ``streams`` directive splits each
     channel's stream into overlap-resync chunk lanes batched through
     the fused kernel (parallel.timepar.time_parallel_decode)."""
@@ -338,6 +382,9 @@ def _lanes_decode(cfg: Config, chans, nch: int, interleaved: np.ndarray,
                   if nch > 1 else np.asarray(interleaved))
         res = time_parallel_decode(stream, chunk_len=chunk,
                                    frame_slots=max(cfg.frameslots, 64))
+        if level_mons:
+            # whole-capture peak through the same reference semantics
+            level_mons[ci].observe(res.peak)
         dispatcher.add(ci, zip(res.starts, res.ends, res.frames))
         counters[name] = (len(res.frames), res.wrong_crc, res.wrong_size)
         log.info("Time-parallel decode ch %s: %d lanes of %d samples",
@@ -365,12 +412,25 @@ def run_decode(cfg: Config, out_stream=None) -> int:
             # 48 kHz * iq_decim: the on-device FM discriminator +
             # decimation front-end streams super-block chunks with an
             # explicit carry (io.iq) — O(chunk) host memory, exactly
-            # like the soundcard input layer (input.c:108-126)
-            from gnuais_tpu.io.iq import IqStreamReader
-            iq_reader = IqStreamReader(src, channels=nch_cfg,
-                                       decim=cfg.iq_decim)
-            log.info("Streaming IQ from file: %s (decim %d, %d ch)",
-                     src, cfg.iq_decim, nch_cfg)
+            # like the soundcard input layer (input.c:108-126).  A
+            # FIFO/stream/stdin source engages the live reader (the
+            # "replaces the radio" mode run live); byte-identical to
+            # the file reader on the same bytes.
+            is_stream = src == "-" or (
+                os.path.exists(src)
+                and not stat_mod.S_ISREG(os.stat(src).st_mode))
+            if is_stream:
+                from gnuais_tpu.io.iq import IqLiveReader
+                iq_reader = IqLiveReader(src, channels=nch_cfg,
+                                         decim=cfg.iq_decim)
+                log.info("Streaming IQ live from %s (decim %d, %d ch)",
+                         src, cfg.iq_decim, nch_cfg)
+            else:
+                from gnuais_tpu.io.iq import IqStreamReader
+                iq_reader = IqStreamReader(src, channels=nch_cfg,
+                                           decim=cfg.iq_decim)
+                log.info("Streaming IQ from file: %s (decim %d, %d ch)",
+                         src, cfg.iq_decim, nch_cfg)
         else:
             is_stream = src == "-" or (
                 os.path.exists(src)
@@ -455,6 +515,15 @@ def run_decode(cfg: Config, out_stream=None) -> int:
         ranges[name] = RangeTracker(name, mylat, mylng)
 
     tee = open(cfg.sound_out_file, "wb") if cfg.sound_out_file else None
+    # --profile: runtime profiler hook (SURVEY §5) — the whole decode
+    # runs under a jax.profiler trace (XLA device ops + host timeline);
+    # view with `tensorboard --logdir DIR` or xprof
+    import contextlib
+    prof_ctx = contextlib.ExitStack()
+    if cfg.profile_dir:
+        import jax
+        prof_ctx.enter_context(jax.profiler.trace(cfg.profile_dir))
+        log.info("JAX profiler trace -> %s", cfg.profile_dir)
     t0 = time_mod.time()
     sess = None
     timepar_counters = None
@@ -472,21 +541,62 @@ def run_decode(cfg: Config, out_stream=None) -> int:
         # emission order via the recorded stop positions
         chans = _active_channels(cfg.sound_channels)
         disp = _TimeParDispatcher(chans, cfg.skip_type, on_message)
+        # observability on the scale paths (receiver.c:137-147,
+        # ais.c:250-262): the device step's input peak feeds per-channel
+        # level monitors; StatsInterval range logging ticks per block
+        level_mons = [LevelMonitor(name, cfg.sound_levellog)
+                      for name, _ in chans]
+        stats_state = {"last": time_mod.time()}
+
+        def stats_tick():
+            if not cfg.stats_interval:
+                return
+            now = time_mod.time()
+            if now - stats_state["last"] >= cfg.stats_interval:
+                stats_state["last"] = now
+                for rt in ranges.values():
+                    rt.log_and_reset()
         if cfg.meshshape:
             block_iter = (live.blocks() if live is not None
                           else iq_reader.blocks() if iq_reader is not None
                           else audio_io.iter_blocks(interleaved, nch_cfg,
                                                     1 << 16))
             timepar_counters, n_samples = _mesh_decode(
-                cfg, chans, nch_cfg, block_iter, disp, tee)
+                cfg, chans, nch_cfg, block_iter, disp, tee,
+                level_mons=level_mons, stats_tick=stats_tick)
         else:
             if iq_reader is not None:
                 # whole-capture lane decode: materialize only the
                 # DEMODULATED audio (8*decim/channels-fold smaller than
                 # the IQ file, which stays memmapped)
                 interleaved = iq_reader.read_all()
-            timepar_counters, n_samples = _lanes_decode(
-                cfg, chans, nch_cfg, interleaved, disp, tee)
+            # envelope guard: lanes resync through the lead overlap, so
+            # constant-level (squelched/zeroed) gaps longer than the
+            # overlap are outside the exactness envelope — scan once
+            # and fall back to the exact carry-hand-off session
+            from gnuais_tpu.parallel.timepar import DEFAULT_OVERLAP
+            gap = (_lanes_envelope_gap(interleaved, nch_cfg, chans)
+                   if cfg.lanes_guard else 0)
+            if gap >= DEFAULT_OVERLAP:
+                log.warning(
+                    "Capture contains a constant-level run of %d "
+                    "samples (>= the %d-sample lane resync overlap): "
+                    "lane decode cannot guarantee exact parity past "
+                    "such gaps — falling back to the exact streaming "
+                    "session (disable with `lanesguard off`)",
+                    gap, DEFAULT_OVERLAP)
+                import copy as copy_mod
+                cfg_fb = copy_mod.copy(cfg)
+                cfg_fb.meshshape = (1, 1)
+                timepar_counters, n_samples = _mesh_decode(
+                    cfg_fb, chans, nch_cfg,
+                    audio_io.iter_blocks(interleaved, nch_cfg, 1 << 16),
+                    disp, tee, level_mons=level_mons,
+                    stats_tick=stats_tick)
+            else:
+                timepar_counters, n_samples = _lanes_decode(
+                    cfg, chans, nch_cfg, interleaved, disp, tee,
+                    level_mons=level_mons)
     else:
         sess = DecodeSession(make_receiver_factory(cfg),
                              sound_channels=cfg.sound_channels,
@@ -568,8 +678,13 @@ def run_decode(cfg: Config, out_stream=None) -> int:
                         and hasattr(rx.pipe, "checkpoint"):
                     rx.pipe.checkpoint()
     dt = time_mod.time() - t0
+    prof_ctx.close()
+    if cfg.profile_dir:
+        log.info("Profiler trace written to %s", cfg.profile_dir)
     if live is not None:
         live.close()
+    if iq_reader is not None and hasattr(iq_reader, "close"):
+        iq_reader.close()
 
     if tee:
         tee.close()
@@ -658,6 +773,9 @@ def main(argv: Optional[List[str]] = None) -> int:
                         "size (one super-block is held for exact "
                         "seam hand-off); costs throughput "
                         "(tools/latency_bench.py prints the table)")
+    p.add_argument("--profile", metavar="DIR",
+                   help="write a jax.profiler trace of the decode to "
+                        "DIR (view with tensorboard/xprof)")
     p.add_argument("--checkpoint", metavar="PATH",
                    help="checkpoint decoder state (per channel) for "
                         "exact crash recovery / resume")
@@ -733,6 +851,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         cfg.streams = args.streams
     if args.backend:
         cfg.backend = args.backend
+    if args.profile:
+        cfg.profile_dir = args.profile
     if args.checkpoint:
         cfg.checkpoint = args.checkpoint
     if args.checkpoint_every is not None:

@@ -131,6 +131,18 @@ class Config:
     # per-time-shard samples in mesh (meshshape) decode; the streaming
     # super-block is timepar_block * n_time_shards samples per channel
     timepar_block: int = 65_536
+    # lanes-mode envelope guard: scan whole-capture lane decodes for
+    # constant-level runs longer than the resync overlap (outside the
+    # documented exactness envelope, parallel/timepar.py:29-40) and
+    # fall back to the exact streaming session
+    lanes_guard: bool = True
+    # jax.profiler trace output directory (--profile); None = off
+    profile_dir: Optional[str] = None
+    # multi-host fleet (--cluster coordinator:port nprocs procid):
+    # jax.distributed multi-controller launch, one process per host
+    cluster_coordinator: Optional[str] = None
+    cluster_nprocs: int = 0
+    cluster_procid: int = -1
 
     @property
     def have_my_loc(self) -> bool:
@@ -214,6 +226,9 @@ _DIRECTIVES = [
      lambda c, a: setattr(c, "checkpoint_every", int(a[1]))),
     ("timeparblock",
      lambda c, a: setattr(c, "timepar_block", int(a[1]))),
+    ("lanesguard",
+     lambda c, a: setattr(c, "lanes_guard",
+                          a[1].lower() not in ("off", "0", "false", "no"))),
 ]
 
 

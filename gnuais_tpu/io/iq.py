@@ -32,6 +32,127 @@ from typing import Iterator
 import numpy as np
 
 
+@functools.lru_cache(maxsize=None)
+def _iq_step(decim: int, ntaps: int):
+    """Jitted front-end step shared by the file and live readers (same
+    taps, same arithmetic — chunked-vs-oneshot bit-identity is pinned
+    by tests/test_iq_streaming.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gnuais_tpu.ops.discriminator import (design_decim_fir,
+                                              iq_to_int16_audio)
+    taps = jnp.asarray(design_decim_fir(decim, ntaps))
+
+    @jax.jit
+    def step(i, q, state):
+        return iq_to_int16_audio(i, q, state, taps, decim)
+
+    return step
+
+
+class IqLiveReader:
+    """Live raw-IQ input: blocking FIFO/stream/stdin source of the same
+    interleaved float32 I/Q frames as ``IqStreamReader`` — the "replaces
+    the radio" mode run live (the contract input.c:108-126 /
+    pulseaudio.c:55-65 gives the audio paths, applied to IQ).
+
+    The discriminator/decimator carry (``IqState``) chains across
+    reads, so the demodulated audio is byte-identical to decoding the
+    same bytes from a file (tests/test_uplink_iq_cli.py pins this).
+    Reads block until a full group of ``decim`` IQ samples per output
+    frame arrives; EOF drops a trailing partial group exactly like the
+    file reader's whole-item fread semantics."""
+
+    NTAPS = 64
+
+    def __init__(self, source: str, channels: int = 1, decim: int = 4,
+                 block_frames: int = 1 << 16):
+        import os
+        import sys
+        self.channels = channels
+        self.decim = decim
+        self.block_frames = block_frames
+        self._vpf = 2 * channels * decim         # f32 values per frame
+        if source == "-":
+            self._fd = sys.stdin.buffer.fileno()
+            self._close_fd = False
+        else:
+            self._fd = os.open(source, os.O_RDONLY)
+            self._close_fd = True
+
+    def _read_frames(self, want_frames: int):
+        """Blocking read of up to want_frames output frames' worth of
+        IQ bytes; returns (i_rails, q_rails) float32 [ch, n*decim] or
+        None at EOF."""
+        import os
+        want = want_frames * self._vpf * 4
+        buf = bytearray()
+        while len(buf) < want:
+            try:
+                chunk = os.read(self._fd, want - len(buf))
+            except InterruptedError:
+                continue
+            except OSError:
+                if buf:
+                    break
+                return None
+            if not chunk:
+                break
+            buf.extend(chunk)
+        nf = len(buf) // (self._vpf * 4)
+        if nf == 0:
+            return None
+        raw = np.frombuffer(bytes(buf[:nf * self._vpf * 4]), dtype="<f4")
+        fr = raw.reshape(-1, self.channels, 2)
+        return (np.ascontiguousarray(fr[:, :, 0].T),
+                np.ascontiguousarray(fr[:, :, 1].T))
+
+    def blocks(self, skip_frames: int = 0):
+        """Yield interleaved int16 audio blocks.  skip_frames: decode
+        and discard that many output frames first (resume support —
+        the carry is EVOLVED through the skipped data, which is exact
+        for a re-fed stream)."""
+        import jax.numpy as jnp
+
+        from gnuais_tpu.ops.discriminator import init_iq
+        step = _iq_step(self.decim, self.NTAPS)
+        state = init_iq(self.channels, self.NTAPS)
+        to_skip = skip_frames
+        while True:
+            rails = self._read_frames(self.block_frames)
+            if rails is None:
+                return
+            ii, qq = rails
+            audio, state = step(jnp.asarray(ii), jnp.asarray(qq), state)
+            a = np.asarray(audio)                 # [ch, nf]
+            if to_skip:
+                drop = min(to_skip, a.shape[1])
+                a = a[:, drop:]
+                to_skip -= drop
+                if a.shape[1] == 0:
+                    continue
+            if self.channels == 1:
+                yield a[0]
+            else:
+                out = np.empty(a.shape[1] * self.channels, np.int16)
+                for c in range(self.channels):
+                    out[c::self.channels] = a[c]
+                yield out
+
+    def read_all(self, skip_frames: int = 0) -> np.ndarray:
+        parts = list(self.blocks(skip_frames))
+        if not parts:
+            return np.zeros((0,), np.int16)
+        return np.concatenate(parts)
+
+    def close(self):
+        import os
+        if self._close_fd:
+            os.close(self._fd)
+            self._close_fd = False
+
+
 class IqStreamReader:
     """Iterate demodulated int16 audio blocks from a raw IQ capture.
 

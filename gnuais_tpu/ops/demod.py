@@ -496,6 +496,11 @@ def compact_candidates(frames: FrameBatch, cand_valid: jax.Array,
     the default one-pass bf16 lowering corrupted 16-bit pieces on real
     TPUs, hence the 8-bit split."""
     s, k = cand_valid.shape
+    # the candidate's own index rides through 2 bf16 byte planes below;
+    # a larger K would wrap src and gather the wrong register words
+    # (static shape, so this costs nothing at trace time)
+    assert k < (1 << 16), f"candidate axis {k} exceeds the 2-byte " \
+        "index encoding of compact_candidates"
     frame_slots = frames.words.shape[1]
     dst = jnp.cumsum(cand_valid.astype(jnp.int32), axis=1) - 1 \
         + frames.count[:, None]

@@ -96,11 +96,16 @@ def decimate(x: jax.Array, history: jax.Array, taps: jax.Array,
     """
     ntaps = taps.shape[0]
     t = x.shape[1]
-    if t > chunk:
+    # Chunk on the decimation grid: a chunk length not divisible by
+    # decim would emit floor(chunk/decim) samples yet advance the FIR
+    # history by the full chunk, shifting the output grid at every
+    # chunk boundary (common SDR decims 5/10/20/40 never divide 2^14).
+    step = max(decim, chunk - (chunk % decim))
+    if t > step:
         outs = []
         h = history
-        for off in range(0, t, chunk):
-            y, h = decimate(x[:, off:off + chunk], h, taps, decim,
+        for off in range(0, t, step):
+            y, h = decimate(x[:, off:off + step], h, taps, decim,
                             chunk=chunk)
             outs.append(y)
         return jnp.concatenate(outs, axis=1), h

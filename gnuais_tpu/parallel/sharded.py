@@ -266,16 +266,17 @@ def _pack_timepar(tp: TimeParFrames) -> jax.Array:
         jax.lax.bitcast_convert_type(tp.words, jnp.int32).reshape(-1),
         tp.length.reshape(-1), tp.start.reshape(-1),
         tp.end.reshape(-1), tp.count.reshape(-1),
-        tp.lost2.reshape(-1)])
+        tp.lost2.reshape(-1), tp.peak.reshape(-1)])
 
 
 def _unpack_timepar(tp: TimeParFrames):
     """Host-side split of _pack_timepar's buffer back into numpy
-    views shaped like the TimeParFrames leaves (peak excluded — the
-    callers that need it fetch it separately)."""
+    views shaped like the TimeParFrames leaves (peak included — the
+    level warning receiver.c:137-147 rides the same single transfer)."""
     flat = np.asarray(_pack_timepar(tp))
     shapes = [tp.words.shape, tp.length.shape, tp.start.shape,
-              tp.end.shape, tp.count.shape, tp.lost2.shape]
+              tp.end.shape, tp.count.shape, tp.lost2.shape,
+              tp.peak.shape]
     out = []
     off = 0
     for sh in shapes:
@@ -305,13 +306,14 @@ def drain_timepar_frames(tp: TimeParFrames, frame_slots: int,
     ``prev_bad_starts`` chains their dedup across super-blocks.
 
     raw=True returns the UN-deduped per-stream lists instead:
-    (ok_lists, bad_start_lists, lost2 [S, nt] numpy) — for callers
-    (the grouped mesh session) that merge several rows of the same
-    logical channel and must dedup across the row seams themselves
-    (dedup_by_start is idempotent, so double-deduping the interior is
-    harmless).  with_stats=True likewise appends the lost2 array to
-    its return so no caller pays a second device round trip for it."""
-    words, length, start, end, count, _l2 = _unpack_timepar(tp)
+    (ok_lists, bad_start_lists, lost2 [S, nt], peak [S, nt] numpy) —
+    for callers (the grouped mesh session) that merge several rows of
+    the same logical channel and must dedup across the row seams
+    themselves (dedup_by_start is idempotent, so double-deduping the
+    interior is harmless).  with_stats=True likewise appends the lost2
+    and peak arrays to its return so no caller pays a second device
+    round trip for them."""
+    words, length, start, end, count, _l2, _pk = _unpack_timepar(tp)
     s, nt = count.shape
     w = words.reshape(s * nt, frame_slots, words.shape[-1])
     ln = length.reshape(s * nt, frame_slots)
@@ -352,7 +354,7 @@ def drain_timepar_frames(tp: TimeParFrames, frame_slots: int,
                         bad[stream].append(
                             (int(start[stream, base + k]),))
     if raw:
-        return out, bad, _l2
+        return out, bad, _l2, _pk
     kept = [dedup_by_start(lst, prev_starts[i] if prev_starts else None)
             for i, lst in enumerate(out)]
     if not with_stats:
@@ -364,4 +366,4 @@ def drain_timepar_frames(tp: TimeParFrames, frame_slots: int,
     bad_last = [(lst[-1][0] if lst else
                  (prev_bad_starts[i] if prev_bad_starts else -10 ** 9))
                 for i, lst in enumerate(bad)]
-    return kept, bad_counts, bad_last, _l2
+    return kept, bad_counts, bad_last, _l2, _pk

@@ -69,6 +69,8 @@ class TimeParallelResult:
     wrong_crc: int = 0           # deframed, owned, CRC-failed (deduped)
     wrong_size: int = 0          # bad stop flags in own regions (the
     #                              reference's lostframes2)
+    peak: int = 0                # input |sample| peak over the capture
+    #                              (receiver.c:137-147 level diagnostic)
 
 
 def _plan(n: int, chunk_len: int, overlap: int, ext: int) -> int:
@@ -149,13 +151,15 @@ def time_parallel_decode(stream: np.ndarray, chunk_len: int = 65_536,
     # chunk_len) in window coordinates (block_base=0), so the scalar
     # bounds gate wrong-size stops to exactly one owning lane each —
     # the summed counter matches the sequential chain's lostframes2
-    carry, frames, _ = pl.decode_block(
+    carry, frames, peak = pl.decode_block(
         lanes, jnp.int32(win), carry,
         frame_slots=frame_slots, exact_fir=True, fast_dpll=fast_dpll,
         fused_pipeline=fused_pipeline, block_base=0,
         lost2_lo=jnp.int32(overlap),
         lost2_hi=jnp.int32(overlap + chunk_len), **decode_flags)
     wrong_size = int(np.asarray(frames.lost2).sum())
+    peak_val = int(np.asarray(peak).max())  # lane max == stream max
+    #  (overlap duplicates and zero padding cannot raise a maximum)
 
     def finish(ok_items, bad_starts):
         """ok_items: (abs_start, abs_end, Frame); bad_starts: absolute
@@ -176,6 +180,7 @@ def time_parallel_decode(stream: np.ndarray, chunk_len: int = 65_536,
             starts=[s for s, _, _ in ok_items],
             ends=[e for _, e, _ in ok_items],
             chunks=k, wrong_crc=n_bad, wrong_size=wrong_size,
+            peak=peak_val,
         )
 
     if dense_cap is not None:
@@ -285,6 +290,7 @@ class TimeParSession:
         self.received = [0] * n_streams
         self.wrong_crc = [0] * n_streams
         self.wrong_size = [0] * n_streams
+        self.last_peak = [0] * n_streams
 
     def _run(self, block: np.ndarray, base: int, next_head: np.ndarray,
              valid_end: int):
@@ -292,9 +298,12 @@ class TimeParSession:
                        jnp.int32(base), jnp.asarray(self._prev_tail),
                        jnp.asarray(next_head))
         (per_stream, bad_counts, bad_last,
-         l2) = self._sh.drain_timepar_frames(
+         l2, pk) = self._sh.drain_timepar_frames(
             tp, self.frame_slots, prev_starts=self._last_starts,
             with_stats=True, prev_bad_starts=self._last_bad)
+        # per-stream input peak of this push (max over time shards) —
+        # the reference's per-block level diagnostic (receiver.c:137-147)
+        self.last_peak = [int(v) for v in pk.max(axis=1)]
         self._last_starts = [
             (lst[-1][0] if lst else
              (self._last_starts[i] if self._last_starts else -10 ** 9))
@@ -418,14 +427,18 @@ class GroupedTimeParSession:
         self.received = [0] * n_channels
         self.wrong_crc = [0] * n_channels
         self.wrong_size = [0] * n_channels
+        self.last_peak = [0] * n_channels
 
     def _drain_grouped(self, tp, base: int):
         """Offset each row's local frames to channel-absolute positions,
         merge the rows of each channel in segment order, dedup across
         row seams and pushes, update counters."""
-        ok_rows, bad_rows, l2 = self._sh.drain_timepar_frames(
+        ok_rows, bad_rows, l2, pk = self._sh.drain_timepar_frames(
             tp, self.frame_slots, raw=True)
         lost2 = l2.sum(axis=1)
+        self.last_peak = [
+            int(pk[ci * self.group:(ci + 1) * self.group].max())
+            for ci in range(self.n_channels)]
         out = []
         for ci in range(self.n_channels):
             merged = []
@@ -505,9 +518,11 @@ class GroupedTimeParSession:
                            jnp.int32(min(data_end, seg_base + sbr + ext)),
                            jnp.int32(seg_base), jnp.asarray(prev_tail),
                            jnp.asarray(head))
-            ok_rows, bad_rows, l2 = self._sh.drain_timepar_frames(
+            ok_rows, bad_rows, l2, pk = self._sh.drain_timepar_frames(
                 tp, self.frame_slots, raw=True)
             lost2 = l2.sum(axis=1)
+            self.last_peak = [int(pk[ci].max())
+                              for ci in range(self.n_channels)]
             for ci in range(self.n_channels):
                 kept = self._sh.dedup_by_start(ok_rows[ci],
                                                self._last_starts[ci])
