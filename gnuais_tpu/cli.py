@@ -455,15 +455,26 @@ def run_decode(cfg: Config, out_stream=None) -> int:
                      cfg.sound_device, e)
         return 1
 
+    # fleet mode: every rank decodes the identical replicated frame
+    # stream (parallel.sharded multiproc drain), so non-zero ranks run
+    # the full dispatcher for exact counters but keep every sink quiet —
+    # one host emits, the fleet stays byte-identical to single-process
+    quiet_rank = cfg.cluster_nprocs > 1 and cfg.cluster_procid > 0
+    if quiet_rank:
+        out_stream = open(os.devnull, "w")
     stdout_sink = StdoutSink(out_stream)
     socket_srv: Optional[NmeaSocketServer] = None
-    try:
-        socket_srv = NmeaSocketServer()
-    except OSError as e:
-        log.error("Could not open Unix Domain Socket: %s", e)
-    serial_sink = SerialSink(cfg.serial_port) if cfg.serial_port else None
+    if not quiet_rank:
+        try:
+            socket_srv = NmeaSocketServer()
+        except OSError as e:
+            log.error("Could not open Unix Domain Socket: %s", e)
+    serial_sink = (SerialSink(cfg.serial_port)
+                   if cfg.serial_port and not quiet_rank else None)
     db = None
-    if cfg.mysql_db:
+    if quiet_rank:
+        pass
+    elif cfg.mysql_db:
         # the reference's production sink (out_mysql.c): MySQL with
         # server-gone auto-reconnect
         from gnuais_tpu.io.mysql import MySqlWriter
@@ -479,7 +490,7 @@ def run_decode(cfg: Config, out_stream=None) -> int:
         db = DbWriter(cfg.db_path, keepsmall=cfg.mysql_keepsmall,
                       oldlimit=cfg.mysql_oldlimit)
 
-    cache = VesselCache() if cfg.uplinks else None
+    cache = VesselCache() if cfg.uplinks and not quiet_rank else None
     exporter = None
     if cache:
         exporter = JsonExporter(cache, [u.url for u in cfg.uplinks],
@@ -773,6 +784,15 @@ def main(argv: Optional[List[str]] = None) -> int:
                         "size (one super-block is held for exact "
                         "seam hand-off); costs throughput "
                         "(tools/latency_bench.py prints the table)")
+    p.add_argument("--cluster", nargs=3,
+                   metavar=("COORDINATOR", "NPROCS", "PROCID"),
+                   help="multi-host fleet: jax.distributed "
+                        "multi-controller launch — run the SAME "
+                        "command on every host with its rank "
+                        "(e.g. --cluster head:9999 2 0); meshshape "
+                        "spans the global device set, raw samples stay "
+                        "host-local, frame outputs replicate fleet-wide "
+                        "and rank 0 emits")
     p.add_argument("--profile", metavar="DIR",
                    help="write a jax.profiler trace of the decode to "
                         "DIR (view with tensorboard/xprof)")
@@ -851,6 +871,18 @@ def main(argv: Optional[List[str]] = None) -> int:
         cfg.streams = args.streams
     if args.backend:
         cfg.backend = args.backend
+    if args.cluster:
+        cfg.cluster_coordinator = args.cluster[0]
+        cfg.cluster_nprocs = int(args.cluster[1])
+        cfg.cluster_procid = int(args.cluster[2])
+    if cfg.cluster_nprocs > 1:
+        # must run before any device computation; the mesh decode then
+        # spans every process's devices (cluster.py design notes)
+        from gnuais_tpu.parallel.cluster import ClusterConfig, initialize
+        initialize(ClusterConfig(cfg.cluster_coordinator,
+                                 cfg.cluster_nprocs, cfg.cluster_procid))
+        log.info("Cluster: process %d/%d via %s", cfg.cluster_procid,
+                 cfg.cluster_nprocs, cfg.cluster_coordinator)
     if args.profile:
         cfg.profile_dir = args.profile
     if args.checkpoint:

@@ -117,7 +117,8 @@ def make_multichip_step(mesh: Mesh, frame_slots: int = 32,
                         extension: int = DEFAULT_EXTENSION,
                         exact_fir: bool = True,
                         fast_dpll: bool = False,
-                        fused_pipeline: bool = False) -> Callable:
+                        fused_pipeline: bool = False,
+                        multiproc: bool | None = None) -> Callable:
     """2-D mesh step: streams data-parallel x time sequence-parallel.
 
     Returns jitted ``step(samples, valid_end, global_base, prev_tail,
@@ -141,8 +142,19 @@ def make_multichip_step(mesh: Mesh, frame_slots: int = 32,
     are owned by the super-block AND time shard whose region contains
     their data start, so the union over shards and super-blocks is
     duplicate-free.
+
+    multiproc (default: jax.process_count() > 1): multi-controller
+    fleet mode — the mesh spans several processes (cluster.initialize),
+    every caller passes its PROCESS-LOCAL view of the full host arrays
+    (each process contributes only its addressable rows via
+    make_array_from_callback), and the tiny per-push frame outputs are
+    all-gathered over both mesh axes inside the step so every host
+    drains the identical replicated result (a few KB per push; the raw
+    samples never cross DCN).
     """
     nt = mesh.shape["time"]
+    if multiproc is None:
+        multiproc = jax.process_count() > 1
 
     def body(samples, valid_end, global_base, prev_tail, next_head,
              row_phase):
@@ -207,17 +219,29 @@ def make_multichip_step(mesh: Mesh, frame_slots: int = 32,
             demod.init_frames(s_loc, frame_slots), owned,
             frames.words, frames.length, frames.start, frames.end,
             lost2=frames.lost2, over=frames.dropped)
-        return (out.words, out.length, out.start, out.end,
+        outs = (out.words, out.length, out.start, out.end,
                 out.count[:, None], out.lost2[:, None], peak[:, None])
+        if multiproc:
+            # replicate the (few-KB) frame outputs to every process so
+            # the host drain is identical fleet-wide: slot axes gather
+            # over "time" (axis 1), rows over "streams" (axis 0)
+            outs = tuple(
+                jax.lax.all_gather(
+                    jax.lax.all_gather(o, "time", axis=1, tiled=True),
+                    "streams", axis=0, tiled=True)
+                for o in outs)
+        return outs
 
+    if multiproc:
+        out_specs = (P(None, None, None),) + (P(None, None),) * 6
+    else:
+        out_specs = ((P("streams", "time", None),)
+                     + (P("streams", "time"),) * 6)
     sharded = jax.shard_map(
         body, mesh=mesh,
         in_specs=(P("streams", "time"), P(), P(),
                   P("streams", None), P("streams", None), P("streams")),
-        out_specs=(P("streams", "time", None), P("streams", "time"),
-                   P("streams", "time"), P("streams", "time"),
-                   P("streams", "time"), P("streams", "time"),
-                   P("streams", "time")),
+        out_specs=out_specs,
         check_vma=False,
     )
 
@@ -229,10 +253,30 @@ def make_multichip_step(mesh: Mesh, frame_slots: int = 32,
                                             next_head, row_phase)
         return TimeParFrames(w, l, st, en, cnt, l2, pk)
 
+    def _dev(x, spec):
+        """Host array -> device array; fleet mode builds the GLOBAL
+        array from this process's full host copy (each process feeds
+        only its addressable shards — host-local ingest)."""
+        if not multiproc:
+            return jnp.asarray(x)
+        x = np.asarray(x)
+        sh = NamedSharding(mesh, spec)
+        return jax.make_array_from_callback(x.shape, sh,
+                                            lambda idx: x[idx])
+
     def step(samples, valid_end, global_base, prev_tail, next_head,
              row_phase=None):
         if row_phase is None:
-            row_phase = jnp.zeros((samples.shape[0],), jnp.int32)
+            row_phase = np.zeros((np.shape(samples)[0],), np.int32)
+        if multiproc:
+            samples = _dev(samples, P("streams", "time"))
+            prev_tail = _dev(prev_tail, P("streams", None))
+            next_head = _dev(next_head, P("streams", None))
+            row_phase = _dev(row_phase, P("streams"))
+            valid_end = np.int32(valid_end)
+            global_base = np.int32(global_base)
+        else:
+            row_phase = jnp.asarray(row_phase, jnp.int32)
         return _stepj(samples, valid_end, global_base, prev_tail,
                       next_head, row_phase)
 
