@@ -192,7 +192,41 @@ def run_bench(n_streams: int = 256, block_len: int = 49_152,
     dt = sorted(times)[len(times) // 2]
     sps = n_streams * block_len * superblock / dt
 
-    extra = {"mode": {
+    # steady-state pipelined throughput: TWO dispatches in flight —
+    # dispatch k+1 is launched before k's count is read back, so the
+    # ~25 ms dispatch+readback round trip (a tunnel artifact the
+    # production streaming paths never serialize on) overlaps the next
+    # dispatch's compute.  Verification power is unchanged: every
+    # dispatch is distinct (variants alternate, the carry evolves) and
+    # EVERY count is still checked against its input's ground truth —
+    # one dispatch later.  A stale result from the async queue would
+    # fail the assert, so this stays within the honest protocol.
+    pipelined = {}
+    try:
+        c2 = carry
+        pend = []
+        t0 = time.time()
+        for k in range(iters):
+            x = bufs[k % n_variants]
+            c2, frames2, _ = step(x, c2)
+            pend.append((jnp.sum(frames2.count),
+                         wants[k % n_variants] * n_streams
+                         * max(superblock, 1)))
+            if len(pend) > 1:
+                cnt, want = pend.pop(0)
+                assert int(np.asarray(cnt)) == want, (int(cnt), want)
+        for cnt, want in pend:
+            assert int(np.asarray(cnt)) == want, (int(cnt), want)
+        dt_total = time.time() - t0
+        pipelined = {"pipelined": {
+            "depth": 2, "dispatches": iters,
+            "sps": round(iters * n_streams * block_len * superblock
+                         / dt_total, 1),
+        }}
+    except Exception as e:
+        print(f"pipelined measurement failed: {e!r}", file=sys.stderr)
+
+    extra = {**pipelined, "mode": {
         "fir": ("mxu" if mxu_fir else "lobe" if lobe_fir else "exact"),
         "sublanes": sublanes, "superblock": superblock,
         "n_streams": n_streams, "unroll": unroll, "guarded": guarded,
@@ -202,9 +236,18 @@ def run_bench(n_streams: int = 256, block_len: int = 49_152,
         "bit_exact_fir": not (lobe_fir or mxu_fir),
     }}
     if scaling:
+        # ONE variant for the scaling phase: the evolving carry already
+        # makes every dispatch unique (dedup-proof), and holding the
+        # full variant set next to the superblock workspace is exactly
+        # the HBM pressure that produced BENCH_r03's 0.819 and r04's
+        # 0.939 shard-"overhead" artifacts — the paired protocol
+        # re-measured 1.002 (presharded) / 0.996 (unsharded) with the
+        # pressure removed (r05 diagnosis)
+        del bufs[1:]
+        x = xj                    # release the loop's variant reference
         extra.update(_measure_scaling(
-            step, bufs, wants, n_streams, block_len, superblock, iters,
-            kflags={**kflags, "assume_full": fast}, fast=fast,
+            step, bufs, wants[:1], n_streams, block_len, superblock,
+            iters, kflags={**kflags, "assume_full": fast}, fast=fast,
             device_crc=device_crc))
         extra.update(_measure_timepar())
         # free the flagship input set (up to ~10 GB of HBM) before the
@@ -409,11 +452,24 @@ def _measure_scaling(step, bufs, wants, n_streams, block_len,
             # device_put copy here is what blew HBM in BENCH_r03)
             cs = pl.init_carry(n_streams)
         cd = pl.init_carry(n_streams)
+        # single chip: ALSO measure with the input pre-committed to the
+        # mesh sharding (one extra copy; both paired numbers go into
+        # the JSON so the recorded artifact carries the defensible
+        # measurement, not the writeup)
+        xs_pre = cp = None
+        if n_dev == 1:
+            xs_pre = jax.device_put(bufs[0], M.stream_sharding(mesh))
+            xs_pre.block_until_ready()
+            cp = pl.init_carry(n_streams)
         # compile + verify both paths
         cs, f, _ = fn(bufs[0], nv, cs)
         assert int(np.asarray(jnp.sum(f.count))) == \
             wants[0] * n_streams * superblock
-        td, ts = [], []
+        if xs_pre is not None:
+            cp, f, _ = fn(xs_pre, nv, cp)
+            assert int(np.asarray(jnp.sum(f.count))) == \
+                wants[0] * n_streams * superblock
+        td, ts, tp = [], [], []
         for k in range(iters):
             x = bufs[k % len(bufs)]
             want = wants[k % len(wants)] * n_streams * superblock
@@ -428,6 +484,12 @@ def _measure_scaling(step, bufs, wants, n_streams, block_len,
             total = int(np.asarray(jnp.sum(f.count)))
             ts.append(time.time() - t0)
             assert total == want, (total, want)
+            if xs_pre is not None:
+                t0 = time.time()
+                cp, f, _ = fn(xs_pre, nv, cp)
+                total = int(np.asarray(jnp.sum(f.count)))
+                tp.append(time.time() - t0)
+                assert total == want, (total, want)
         n = n_streams * block_len * superblock
         dt_d = sorted(td)[len(td) // 2]
         dt_s = sorted(ts)[len(ts) // 2]
@@ -437,6 +499,10 @@ def _measure_scaling(step, bufs, wants, n_streams, block_len,
             "sps_sharded": round(n / dt_s, 1),
             "efficiency": round(dt_d / (n_dev * dt_s), 3),
         }
+        if tp:
+            dt_p = sorted(tp)[len(tp) // 2]
+            block["sps_sharded_presharded_input"] = round(n / dt_p, 1)
+            block["efficiency_presharded"] = round(dt_d / dt_p, 3)
         key = "scaling" if n_dev > 1 else "single_chip_shard_overhead"
         return {key: block}
     except Exception as e:
@@ -447,8 +513,12 @@ def _measure_scaling(step, bufs, wants, n_streams, block_len,
 CONFIGS = [
     # flagship: fused Pallas pipeline at 32-sublane stream tiles (4096
     # independent per-lane DPLL/HDLC chains pipeline the latency-bound
-    # recurrence), in-kernel MXU banded-matmul FIR, 12 blocks chained
-    # per dispatch to amortize the ~23 ms verified-dispatch cost
+    # recurrence), in-kernel MXU banded-matmul FIR, body-landing frame
+    # snapshots, 16 blocks chained per dispatch to amortize the ~25 ms
+    # verified-dispatch round trip (K=16 is the 2-variant HBM ceiling)
+    dict(n_streams=4096, block_len=49_152, iters=8, superblock=16,
+         sublanes=32, mxu_fir=True, unroll=64, guarded=False,
+         scaling=True),
     dict(n_streams=4096, block_len=49_152, iters=8, superblock=12,
          sublanes=32, mxu_fir=True, unroll=64, guarded=False,
          scaling=True),

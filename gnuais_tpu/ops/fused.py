@@ -626,7 +626,7 @@ def _pipeline_kernel(scal_ref, x_ref, pll_in, prev_in, last_in, hist_in,
                      chunks_per_tile: int | None = None,
                      with_fir: bool = True, fir_mode: str = "vpu",
                      amat_ref=None, assume_full: bool = False,
-                     strip: str = ""):
+                     strip: str = "", landing: str = "slot"):
     """One grid step of the fully fused decode pipeline.
 
     scal_ref: [4] int32 = (n_valid, block_base, lost2_lo, lost2_hi).
@@ -638,6 +638,18 @@ def _pipeline_kernel(scal_ref, x_ref, pll_in, prev_in, last_in, hist_in,
     only wrong-size stops whose position lies in [lost2_lo, lost2_hi)
     (overlap-decode callers gate on their own region — see
     demod.hdlc_scan).
+
+    landing="slot" writes each completed frame into the mini buffers at
+    its own slot: MINI_SLOTS x (REG_WORDS + 3) VMEM read-modify-writes
+    EVERY 4 samples.  landing="body" exploits the same spacing argument
+    one level up: a frame's stop flag and the next frame's first
+    register append are >= ~27 slots apart, so an unroll body of
+    <= 24 slots sees AT MOST ONE emission and the shift register,
+    data_start and HDLC state are UNCHANGED from the emission slot to
+    the body's end — the per-slot work shrinks to five register
+    latches (emit/bad accumulate, flen/spos picks) and the mini-buffer
+    merge runs once per body (8-16x fewer VMEM RMWs; bit-identical,
+    pinned by the fused parity tests in both landings).
     """
     tc = x_ref.shape[0]
     idx = pl.program_id(0)
@@ -670,7 +682,9 @@ def _pipeline_kernel(scal_ref, x_ref, pll_in, prev_in, last_in, hist_in,
         # FIR ran as an MXU convolution outside the kernel) and the
         # in-kernel FIR — two thirds of the kernel's op count — is gone.
         x8 = x_ref[pl.ds(base, unroll)].astype(jnp.float32)
-        if with_fir and fir_mode == "mxu":
+        if "fir" in strip:
+            pass                      # perf bisection: slicer eats raw
+        elif with_fir and fir_mode == "mxu":
             # whole-chunk FIR as ONE matmul on the MXU: the [unroll,
             # FIR_LEN+unroll] banded taps matrix contracts the sliding
             # window over all unroll positions at once, freeing the VPU
@@ -695,8 +709,14 @@ def _pipeline_kernel(scal_ref, x_ref, pll_in, prev_in, last_in, hist_in,
         ml2 = mctr[1]
         mover = mctr[2]
         acc = None
+        # body-landing latches (see docstring): at most one emission /
+        # bad stop per body, so these five registers carry everything
+        # the end-of-body merge needs
+        b_emit = b_bad = b_flen = b_spos = b_badpos = None
         for k in range(unroll):
-            if with_fir and fir_mode == "mxu":
+            if "fir" in strip:
+                f = x8[k]
+            elif with_fir and fir_mode == "mxu":
                 f = fs[k]
             elif with_fir and fir_mode == "lobe":
                 # main-lobe symmetric-pair FIR: 8 muls + 15 adds
@@ -753,10 +773,20 @@ def _pipeline_kernel(scal_ref, x_ref, pll_in, prev_in, last_in, hist_in,
                     + (acc & 3)
                 hv, app, emit, flen, bad = _hdlc_slot_tiles(
                     hv, gbit, gval, spos)
-                ml2 = ml2 + (bad & (spos >= l2_lo) & (spos < l2_hi)
-                             ).astype(jnp.int32)
-                mover = mover + (emit & (mcnt >= MINI_SLOTS)
+                if landing == "body":
+                    b_emit = emit if b_emit is None else (b_emit | emit)
+                    b_bad = bad if b_bad is None else (b_bad | bad)
+                    b_flen = flen if b_flen is None \
+                        else jnp.where(emit, flen, b_flen)
+                    b_spos = spos if b_spos is None \
+                        else jnp.where(emit, spos, b_spos)
+                    b_badpos = spos if b_badpos is None \
+                        else jnp.where(bad, spos, b_badpos)
+                elif "book" not in strip:
+                    ml2 = ml2 + (bad & (spos >= l2_lo) & (spos < l2_hi)
                                  ).astype(jnp.int32)
+                    mover = mover + (emit & (mcnt >= MINI_SLOTS)
+                                     ).astype(jnp.int32)
                 # per-slot register shift (a paired _double_shift with
                 # per-lane variable shift amounts measured ~10% SLOWER
                 # on v5e — vector shifts with vector amounts lower
@@ -775,14 +805,42 @@ def _pipeline_kernel(scal_ref, x_ref, pll_in, prev_in, last_in, hist_in,
                         mstart[m] = jnp.where(sel, hv[7], mstart[m])
                         mend[m] = jnp.where(sel, spos, mend[m])
 
-                if "snap" in strip:
+                if "snap" in strip or landing == "body":
                     pass
                 elif guarded:
                     pl.when(jnp.any(emit))(snapshot)
                 else:
                     snapshot()
-                mcnt = mcnt + emit.astype(jnp.int32)
+                if landing != "body":
+                    mcnt = mcnt + emit.astype(jnp.int32)
                 acc = None
+
+        if landing == "body" and b_emit is not None:
+            # end-of-body merge: srg and hv[7] are still the emission
+            # slot's values (no re-arm within <= 24 slots of a stop)
+            def merge(b_emit=b_emit, b_flen=b_flen, b_spos=b_spos,
+                      srg=srg, hv=hv, mcnt=mcnt):
+                for m in range(MINI_SLOTS):
+                    sel = b_emit & (mcnt == m)
+                    for w in range(REG_WORDS):
+                        mwords[m, w] = jnp.where(sel, srg[w],
+                                                 mwords[m, w])
+                    mlen[m] = jnp.where(sel, b_flen, mlen[m])
+                    mstart[m] = jnp.where(sel, hv[7], mstart[m])
+                    mend[m] = jnp.where(sel, b_spos, mend[m])
+
+            if "snap" in strip:
+                pass
+            elif guarded:
+                pl.when(jnp.any(b_emit))(merge)
+            else:
+                merge()
+            if "book" not in strip:
+                ml2 = ml2 + (b_bad & (b_badpos >= l2_lo)
+                             & (b_badpos < l2_hi)).astype(jnp.int32)
+                mover = mover + (b_emit & (mcnt >= MINI_SLOTS)
+                                 ).astype(jnp.int32)
+            mcnt = mcnt + b_emit.astype(jnp.int32)
 
         state[0] = pll
         state[1] = prev
@@ -791,7 +849,9 @@ def _pipeline_kernel(scal_ref, x_ref, pll_in, prev_in, last_in, hist_in,
             hst[i] = hv[i]
         for w in range(REG_WORDS):
             sreg[w] = srg[w]
-        if with_fir and fir_mode == "mxu":
+        if "fir" in strip:
+            pass
+        elif with_fir and fir_mode == "mxu":
             hist[:] = stacked[unroll:]
         elif with_fir:
             for i in range(C.FIR_LEN):
@@ -799,14 +859,15 @@ def _pipeline_kernel(scal_ref, x_ref, pll_in, prev_in, last_in, hist_in,
 
         flush = (u % bodies_per_hchunk) == bodies_per_hchunk - 1
 
-        @pl.when(flush)
-        def _():
-            c = u // bodies_per_hchunk
-            mwords_ref[pl.ds(c, 1)] = mwords[:][None]
-            mlen_ref[pl.ds(c, 1)] = mlen[:][None]
-            mstart_ref[pl.ds(c, 1)] = mstart[:][None]
-            mend_ref[pl.ds(c, 1)] = mend[:][None]
-            mcnt_ref[pl.ds(c, 1)] = mcnt[None]
+        if "flush" not in strip:
+            @pl.when(flush)
+            def _():
+                c = u // bodies_per_hchunk
+                mwords_ref[pl.ds(c, 1)] = mwords[:][None]
+                mlen_ref[pl.ds(c, 1)] = mlen[:][None]
+                mstart_ref[pl.ds(c, 1)] = mstart[:][None]
+                mend_ref[pl.ds(c, 1)] = mend[:][None]
+                mcnt_ref[pl.ds(c, 1)] = mcnt[None]
 
         mctr[0] = jnp.where(flush, 0, mcnt)
         mctr[1] = ml2
@@ -871,7 +932,8 @@ def pipeline_fused(samples: jax.Array, n_valid: jax.Array,
                    lost2_hi: jax.Array | None = None,
                    sublanes: int = SUBLANES,
                    assume_full: bool = False,
-                   strip: str = ""):
+                   strip: str = "", landing: str = "body",
+                   pretiled_streams: int | None = None):
     """Fused raw-samples -> frame-candidates decode step.
 
     samples: int16/float32 [S, T] (any S — streams beyond 1024 ride
@@ -904,19 +966,33 @@ def pipeline_fused(samples: jax.Array, n_valid: jax.Array,
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    s, t = samples.shape
+    sb = sublanes
+    if pretiled_streams is not None:
+        # samples is ALREADY [nt*t, sb, LANES] stream-tile-major (the
+        # caller owns the layout; used to isolate / avoid the [S, T] ->
+        # tiles transpose, which costs real HBM passes at scale)
+        s = pretiled_streams
+        nt = n_stream_tiles(s, sb)
+        t = samples.shape[0] // nt
+        tiles = samples
+    else:
+        s, t = samples.shape
+        nt = n_stream_tiles(s, sb)
     assert t % time_chunk == 0 and time_chunk % unroll == 0 \
         and unroll % 4 == 0 and time_chunk % (4 * HDLC_CHUNK) == 0, \
         (t, time_chunk, unroll)
-    sb = sublanes
+    # body landing leans on the frame spacing argument: a stop flag and
+    # the next register append are >= ~27 slots apart, so a body of
+    # <= 24 slots sees at most one emission with stable srg/data_start
+    assert landing == "slot" or unroll // 4 <= 24, (landing, unroll)
     ts = sb * LANES
-    nt = n_stream_tiles(s, sb)
     cpt = t // time_chunk
     nch = time_chunk // (4 * HDLC_CHUNK)     # HDLC chunks per grid step
     n_chunks = t // (4 * HDLC_CHUNK)         # HDLC chunks per tile
-    # int16 stays int16 through the transpose (half the HBM traffic);
-    # the kernel casts per register tile
-    tiles, _pad = _to_tiles(samples, sb)
+    if pretiled_streams is None:
+        # int16 stays int16 through the transpose (half the HBM
+        # traffic); the kernel casts per register tile
+        tiles, _pad = _to_tiles(samples, sb)
     hist_t = jnp.pad(history, ((0, nt * ts - s), (0, 0))) \
         .reshape(nt, ts, C.FIR_LEN).transpose(0, 2, 1) \
         .reshape(nt * C.FIR_LEN, sb, LANES)
@@ -926,7 +1002,7 @@ def pipeline_fused(samples: jax.Array, n_valid: jax.Array,
     base_kernel = functools.partial(
         _pipeline_kernel, unroll=unroll, guarded=guarded,
         chunks_per_tile=cpt, with_fir=not prefiltered, fir_mode=fir_mode,
-        assume_full=assume_full, strip=strip)
+        assume_full=assume_full, strip=strip, landing=landing)
     if fir_mode == "mxu":
         # the banded taps matrix rides as a (replicated) kernel input —
         # Pallas kernels cannot capture array constants
@@ -1054,8 +1130,17 @@ def pipeline_fused(samples: jax.Array, n_valid: jax.Array,
     # carried FIR history: last 36 valid raw samples (XLA side — the
     # kernel's in-flight history sees pad zeros past n_valid).  In
     # prefiltered mode the caller owns the raw-sample carry.
-    new_history = history if prefiltered \
-        else _carry_history(samples, history, n_valid)
+    if prefiltered:
+        new_history = history
+    elif pretiled_streams is not None:
+        # tiled layout: the tail rows of each stream tile (full blocks
+        # only — the pretiled fast path asserts n_valid == t upstream)
+        new_history = (tiles.reshape(nt, t, sb, LANES)[:, t - C.FIR_LEN:]
+                       .transpose(0, 2, 3, 1)
+                       .reshape(nt * ts, C.FIR_LEN)[:s]
+                       .astype(jnp.float32))
+    else:
+        new_history = _carry_history(samples, history, n_valid)
 
     new_dpll = DpllState(
         pll=_tiles_to_state(pll2, s),

@@ -279,9 +279,17 @@ class TimeParSession:
         self.overlap = overlap
         self.extension = extension
         self._held: Optional[np.ndarray] = None
+        self._held_dev = None     # async pre-upload of _held (device)
         self._held_base = 0
         self._prev_tail = np.zeros((n_streams, overlap), np.int16)
         self._base = 0
+        # double-buffered upload: push() starts the NEXT super-block's
+        # host->device transfer before dispatching the held block's
+        # decode, so the transfer rides under the device compute (the
+        # drain is already one packed transfer).  Multi-controller
+        # fleets skip it (the step builds global arrays from host data).
+        import jax as _jax
+        self._prefetch = _jax.process_count() == 1
         self._last_starts: Optional[List[int]] = None
         self._last_bad: Optional[List[int]] = None
         # reference per-channel accounting (ais.c:296-310): index =
@@ -293,8 +301,9 @@ class TimeParSession:
         self.last_peak = [0] * n_streams
 
     def _run(self, block: np.ndarray, base: int, next_head: np.ndarray,
-             valid_end: int):
-        tp = self.step(jnp.asarray(block), jnp.int32(valid_end),
+             valid_end: int, block_dev=None):
+        dev = block_dev if block_dev is not None else jnp.asarray(block)
+        tp = self.step(dev, jnp.int32(valid_end),
                        jnp.int32(base), jnp.asarray(self._prev_tail),
                        jnp.asarray(next_head))
         (per_stream, bad_counts, bad_last,
@@ -343,12 +352,19 @@ class TimeParSession:
         s, t = samples.shape
         assert s == self.n_streams and t == self.super_block, (s, t)
         out = None
+        samples = np.asarray(samples, dtype=np.int16)
+        # start the new block's upload BEFORE decoding the held one:
+        # device_put returns immediately and the transfer overlaps the
+        # held block's decode dispatch below
+        dev = jnp.asarray(samples) if self._prefetch else None
         if self._held is not None:
             # real data extends through the successor's head
             next_head = np.asarray(samples[:, :self.extension])
             out = self._run(self._held, self._held_base, next_head,
-                            self._base + self.extension)
-        self._held = np.asarray(samples, dtype=np.int16)
+                            self._base + self.extension,
+                            block_dev=self._held_dev)
+        self._held = samples
+        self._held_dev = dev
         self._held_base = self._base
         self._base += t
         return out
@@ -362,8 +378,10 @@ class TimeParSession:
                                  else self._held.shape[1])
         out = self._run(self._held, self._held_base,
                         np.zeros((self.n_streams, self.extension),
-                                 np.int16), end)
+                                 np.int16), end,
+                        block_dev=self._held_dev)
         self._held = None
+        self._held_dev = None
         return out
 
 

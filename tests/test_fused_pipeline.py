@@ -86,6 +86,40 @@ def test_fused_pipeline_assume_full_bitexact():
     _carry_equal(c1, c2)
 
 
+def test_fused_pipeline_landing_body_equals_slot():
+    """The body-landing snapshot scheme (one mini-buffer merge per
+    unroll body, leaning on the >= ~27-slot stop-to-re-arm spacing)
+    must be bit-identical to per-slot landing — frames, counters and
+    carries — on frames, noise and a partial final block."""
+    from gnuais_tpu import constants as C
+    from gnuais_tpu.ops import demod
+    from gnuais_tpu.ops.fused import pipeline_fused
+
+    s, t = 4, 2560
+    x = _noisy_batch(s, t, n_payloads=1, gap_bits=8)
+    x[2] = np.clip(np.random.default_rng(3).normal(0, 6000, t),
+                   -32768, 32767).astype(np.int16)   # pure noise row
+    hist = jnp.zeros((s, C.FIR_LEN), jnp.float32)
+    # one flag pair at unroll 32: each pipeline_fused variant is its
+    # own interpret-mode compile (unroll 64 compiles pathologically
+    # slowly on CPU XLA); the unroll-64 sweeps run compiled in the
+    # on-TPU tier, which pins the same parity on silicon
+    for nv, unroll in ((t - 333, 32),):
+        outs = {}
+        for landing in ("slot", "body"):
+            d0, h0 = demod.init_dpll(s), demod.init_hdlc(s)
+            outs[landing] = pipeline_fused(
+                jnp.asarray(x), jnp.int32(nv), hist, d0, h0,
+                block_base=77, unroll=unroll, landing=landing,
+                lost2_lo=jnp.int32(0), lost2_hi=jnp.int32(nv))
+        import jax
+        for va, vb in zip(jax.tree.leaves(outs["slot"]),
+                          jax.tree.leaves(outs["body"])):
+            assert np.array_equal(np.asarray(va), np.asarray(vb)), \
+                (nv, unroll)
+        assert int(np.asarray(outs["body"][0]).sum()) >= s - 1
+
+
 @pytest.mark.slow
 def test_fused_pipeline_matches_exact_bitexact():
     s, t = 8, 2048

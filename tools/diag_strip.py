@@ -30,9 +30,14 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
     S, T, K = 4096, 49_152, 12
+    for a in sys.argv[1:]:
+        if a.startswith("K="):
+            K = int(a[2:])
     strip = ""
     fir = "mxu"
     guarded = True
+    unroll = 32
+    sublanes = 32
     for a in sys.argv[1:]:
         if a.startswith("strip="):
             strip = a[6:]
@@ -40,6 +45,14 @@ def main():
             fir = a[4:]
         elif a == "unguarded":
             guarded = False
+        elif a.startswith("unroll="):
+            unroll = int(a[7:])
+        elif a.startswith("SL="):
+            sublanes = int(a[3:])
+        elif a == "pretiled":
+            globals()["_PRETILED"] = True
+        elif a.startswith("landing="):
+            globals()["_LANDING"] = a[8:]
 
     bufs, wants = [], []
     for v in range(2):
@@ -56,17 +69,35 @@ def main():
 
     hist0 = jnp.zeros((S, C.FIR_LEN), jnp.float32)
 
+    pretiled = globals().get("_PRETILED", False)
+    if pretiled:
+        # stage the tile transpose OUTSIDE the timed dispatch: isolates
+        # the [S, T] -> tiles relayout's share of the pipeline cost
+        from gnuais_tpu.ops.fused import _to_tiles
+
+        @jax.jit
+        def tile_all(xk):
+            xs = xk.reshape(S, K, T).transpose(1, 0, 2)
+            return jnp.stack([_to_tiles(xs[k], sublanes)[0]
+                              for k in range(K)])
+        for i in range(len(bufs)):          # in place: bound HBM peak
+            bufs[i] = tile_all(bufs[i])
+            jax.block_until_ready(bufs[i])
+
     @jax.jit
     def run_sb(xk, d0, h0):
-        xs = xk.reshape(S, K, T).transpose(1, 0, 2)
+        xs = xk if pretiled \
+            else xk.reshape(S, K, T).transpose(1, 0, 2)
 
         def body(c, xb):
             h, d, hh = c
             (cand_valid, cw, cl, cs, ce, l2, ov, h2, d2, hh2) = \
                 pipeline_fused(xb, jnp.int32(T), h, d, hh,
-                               sublanes=32, fir_mode=fir,
+                               sublanes=sublanes, fir_mode=fir,
                                guarded=guarded, assume_full=True,
-                               strip=strip)
+                               unroll=unroll, strip=strip,
+                               landing=globals().get("_LANDING", "slot"),
+                               pretiled_streams=S if pretiled else None)
             return (h2, d2, hh2), cand_valid.sum()
 
         (h2, d2, hh2), counts = jax.lax.scan(
@@ -77,8 +108,12 @@ def main():
 
     d0 = demod.init_dpll(S)
     h0 = demod.init_hdlc(S)
+    # count verification only holds while the mini buffers still reach
+    # HBM (stripping the flush stores zeroes the counts by design); the
+    # evolving-DPLL fingerprint still forces truthful completion
+    check = "hdlc" not in strip and "flush" not in strip
     cnt, fp, d2, _ = run_sb(bufs[0], d0, h0)
-    if "hdlc" not in strip:
+    if check:
         assert int(np.asarray(cnt)) == wants[0], (int(cnt), wants[0])
     times = []
     for k in range(8):
@@ -87,13 +122,17 @@ def main():
         cnt, fp, d2, _ = run_sb(x, d2, h0)   # d2 evolves every iter
         got = int(np.asarray(cnt)) + int(np.asarray(fp)) * 0
         times.append(time.time() - t0)
-        if "hdlc" not in strip:
+        if check:
             assert got == wants[k % 2], (got, wants[k % 2])
     med = sorted(times)[len(times) // 2]
     n = S * T * K
-    print(f"strip='{strip}' fir={fir} guarded={guarded}: "
+    ns_step = med / (T * K) * 1e9
+    print(f"strip='{strip}' fir={fir} guarded={guarded} "
+          f"unroll={unroll} SL={sublanes} K={K}"
+          f"{' pretiled' if pretiled else ''}: "
           f"median {med*1e3:8.2f} ms = "
-          f"{n/med/1e9:6.2f} Gsamp/s  best {n/min(times)/1e9:6.2f}")
+          f"{n/med/1e9:6.2f} Gsamp/s ({ns_step:6.1f} ns/step)  "
+          f"best {n/min(times)/1e9:6.2f}")
 
 
 if __name__ == "__main__":
