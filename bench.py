@@ -359,19 +359,32 @@ def _measure_timepar(n_samples: int = 100_000_000):
         # envelope): digitally-zero gaps starve the DPLL of transitions,
         # which no bounded resync overlap can recover from — see
         # timepar.time_parallel_decode's docstring
-        noise = rng.normal(0, 300, stream.shape)
-        stream = np.clip(stream + noise, -32768, 32767).astype(np.int16)
-        xd = jax.device_put(jnp.asarray(stream))
+        # FOUR distinct noise realizations: warmup + 3 timed (the
+        # plugin dedupes identical repeats and serves cached results —
+        # a same-input timed rerun reads phantom-fast; r04's 519 M was
+        # exactly that artifact).  Median of 3 tames tunnel jitter.
+        variants = [np.clip(stream + rng.normal(0, 300, stream.shape),
+                            -32768, 32767).astype(np.int16)
+                    for _ in range(4)]
+        xs_all = [jax.device_put(jnp.asarray(v)) for v in variants]
+        xw, xds = xs_all[0], xs_all[1:]
+        stream = variants[1]                  # parity gate's stream
+        xd = xds[0]
         # 100 Msamples -> ~1527 lanes (beyond one 1024-stream tile, so
         # the multi-tile lane path runs on real silicon).  This mode's
         # wall clock is dominated by the host drain over the tunnel,
         # not the kernel: wider sublane tiles + smaller chunks measured
         # SLOWER end-to-end (223 vs ~290 Msamp/s) despite the faster
         # kernel, so the lane shape stays simple.
-        res = time_parallel_decode(xd, dense_cap=16384)    # compile
-        t0 = time.time()
-        res = time_parallel_decode(xd, dense_cap=16384)
-        dt = time.time() - t0
+        res = time_parallel_decode(xw, dense_cap=16384)    # compile
+        dts = []
+        for x in xds:                # each dispatch distinct
+            t0 = time.time()
+            r = time_parallel_decode(x, dense_cap=16384)
+            dts.append(time.time() - t0)
+            if x is xd:
+                res = r              # parity-gate this one below
+        dt = sorted(dts)[len(dts) // 2]
         # parity gate vs the carry-chained sequential decode of the
         # SAME stream (noise costs both paths the same marginal
         # frames; an assumed clean count would mis-blame timepar)
@@ -514,11 +527,10 @@ CONFIGS = [
     # flagship: fused Pallas pipeline at 32-sublane stream tiles (4096
     # independent per-lane DPLL/HDLC chains pipeline the latency-bound
     # recurrence), in-kernel MXU banded-matmul FIR, body-landing frame
-    # snapshots, 16 blocks chained per dispatch to amortize the ~25 ms
-    # verified-dispatch round trip (K=16 is the 2-variant HBM ceiling)
-    dict(n_streams=4096, block_len=49_152, iters=8, superblock=16,
-         sublanes=32, mxu_fir=True, unroll=64, guarded=False,
-         scaling=True),
+    # snapshots, 12 blocks chained per dispatch to amortize the ~25 ms
+    # verified-dispatch round trip (K=16 with 2 resident variants OOMs
+    # the 16 GB HBM — measured r5); the pipelined depth-2 block
+    # recovers the remaining fixed cost instead
     dict(n_streams=4096, block_len=49_152, iters=8, superblock=12,
          sublanes=32, mxu_fir=True, unroll=64, guarded=False,
          scaling=True),

@@ -157,9 +157,13 @@ def time_parallel_decode(stream: np.ndarray, chunk_len: int = 65_536,
         fused_pipeline=fused_pipeline, block_base=0,
         lost2_lo=jnp.int32(overlap),
         lost2_hi=jnp.int32(overlap + chunk_len), **decode_flags)
-    wrong_size = int(np.asarray(frames.lost2).sum())
-    peak_val = int(np.asarray(peak).max())  # lane max == stream max
-    #  (overlap duplicates and zero padding cannot raise a maximum)
+    # lane max == stream max (overlap duplicates and zero padding
+    # cannot raise a maximum); summed/reduced ON DEVICE and read back
+    # in ONE trip with lost2 — every extra np.asarray of a separate
+    # device array costs a full ~25 ms tunnel round trip
+    wrong_size, peak_val = (
+        int(v) for v in np.asarray(
+            jnp.stack([frames.lost2.sum(), peak.max()])))
 
     def finish(ok_items, bad_starts):
         """ok_items: (abs_start, abs_end, Frame); bad_starts: absolute
