@@ -876,6 +876,18 @@ def main(argv: Optional[List[str]] = None) -> int:
         cfg.cluster_nprocs = int(args.cluster[1])
         cfg.cluster_procid = int(args.cluster[2])
     if cfg.cluster_nprocs > 1:
+        # Shield the machine-readable AIS stdout from native-library
+        # chatter: the CPU-sim collectives transport (Gloo) writes
+        # connection banners to fd 1 from C++ — some unprefixed and
+        # timing-dependent ("Expected number of connected peer ranks
+        # ...").  Keep a private dup of the real stdout for the decode
+        # output and point the process-level fd 1 at stderr, so no
+        # foreign write can ever interleave with AIS emission (the
+        # reference's stdout carries only decoded text, ais.c:934/984;
+        # downstream consumers parse it line-by-line).
+        real_out = os.dup(1)
+        os.dup2(2, 1)
+        sys.stdout = os.fdopen(real_out, "w", buffering=1)
         # must run before any device computation; the mesh decode then
         # spans every process's devices (cluster.py design notes)
         from gnuais_tpu.parallel.cluster import ClusterConfig, initialize

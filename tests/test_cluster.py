@@ -119,15 +119,12 @@ def test_cluster_cli_two_process(tmp_path):
         assert p.returncode == 0, f"rank {rank}:\n{err[-2000:]}"
     assert "Cluster: process 0/2" in outs[0][1]
 
-    def ais_lines(out):
-        # the CPU collectives backend (Gloo) chats on stdout when the
-        # simulated fleet connects — a CPU-sim artifact (TPU fleets
-        # use ICI/DCN transports); AIS emission purity is what's under
-        # test here
-        return [l for l in out.splitlines() if not l.startswith("[Gloo]")]
-
-    assert ais_lines(outs[0][0]) == seq.stdout.splitlines()
-    assert ais_lines(outs[1][0]) == []           # quiet replica rank
+    # cluster mode shields fd 1 from native-library chatter (the CPU
+    # collectives transport writes connection banners from C++), so the
+    # captured stdout must be PURE AIS output — byte-identical to the
+    # single-process run, no filtering
+    assert outs[0][0].splitlines() == seq.stdout.splitlines()
+    assert outs[1][0] == ""                      # quiet replica rank
     cs = counters(seq.stderr)
     assert counters(outs[0][1]) == cs
     assert counters(outs[1][1]) == cs
