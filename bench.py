@@ -74,7 +74,7 @@ def run_bench(n_streams: int = 256, block_len: int = 49_152,
               scaling: bool = False, superblock: int = 1,
               sublanes: int = 8, lobe_fir: bool = False,
               mxu_fir: bool = False, unroll: int = 32,
-              guarded: bool = True):
+              guarded: bool = True, pretiled: bool = False):
     """Verified throughput measurement.
 
     The TPU plugin dedupes repeated identical dispatches, a repeated
@@ -114,6 +114,28 @@ def run_bench(n_streams: int = 256, block_len: int = 49_152,
         # vector pipeline)
         kflags["kernel_guarded"] = False
 
+    pretiled = pretiled and fast and superblock > 1
+    if pretiled:
+        # the fused kernel's NATIVE input layout: [nt*T_total, sb,
+        # LANES] stream tiles over the WHOLE superblock.  Two r5 wins
+        # compose here: (1) the row-major [S, K*T] path pays three HBM
+        # relayout passes per superblock (input layout copy + per-block
+        # slice + tiles copy — profiled at ~37% of the whole decode
+        # step, more than the kernel itself); a host that owns its
+        # upload layout skips all of it.  (2) the kernel's grid already
+        # chains carry state across time chunks, so the superblock
+        # needs NO lax.scan at all — one kernel call walks the full
+        # time axis, and the scan's per-block input slice (another
+        # ~16%/block) plus eleven of twelve compaction launches
+        # disappear.  The repeat and the tiling fuse into ONE device
+        # pass so no [S, K*T] intermediate ever materializes.
+        from gnuais_tpu.ops.fused import tile_superblock
+        prep = jax.jit(lambda a: tile_superblock(
+            jnp.tile(a, (1, superblock)), 1, sublanes)[0])
+        # one FrameBatch over the whole superblock: slots must hold
+        # every stream's frames for all K inner blocks
+        pret_slots = 64
+        assert (frames_per_stream + 1) * superblock <= pret_slots
     # distinct-input set must fit HBM next to the superblock transpose
     n_variants = 3 if n_streams * block_len * superblock * 2 <= 4e9 \
         else 2
@@ -122,7 +144,12 @@ def run_bench(n_streams: int = 256, block_len: int = 49_152,
         batch, n_pay = build_batch(n_streams, block_len,
                                    frames_per_stream + v % 2, seed=v)
         d = jax.device_put(jnp.asarray(batch))
-        if superblock > 1:
+        if pretiled:
+            xt = prep(d)
+            xt.block_until_ready()
+            d.delete()
+            d = xt
+        elif superblock > 1:
             # tile to the superblock ON DEVICE (the host->device link
             # is slow); frames then repeat per inner block
             d = jax.jit(lambda a: jnp.tile(a, (1, superblock)))(d)
@@ -145,6 +172,13 @@ def run_bench(n_streams: int = 256, block_len: int = 49_152,
         # assume_full: the bench always dispatches full blocks
         # (n_valid == T), so the kernel's per-sample valid gates are
         # compiled out (bit-identical for full blocks, tested)
+        if pretiled:
+            return pl.decode_block(x, nv, c, frame_slots=pret_slots,
+                                   fused_pipeline=True,
+                                   device_crc=device_crc,
+                                   assume_full=True, with_peak=False,
+                                   pretiled_streams=n_streams,
+                                   **kflags)
         if superblock > 1:
             return pl.decode_superblock(x, nv, c, superblock,
                                         frame_slots=32, exact_fir=True,
@@ -162,15 +196,23 @@ def run_bench(n_streams: int = 256, block_len: int = 49_152,
     carry1, frames, _ = step(xj, carry)
     jax.block_until_ready(frames)
     count = np.asarray(frames.count)
-    assert (count == n_payloads).all(), (
+    # pretiled: one FrameBatch over the whole superblock, so each
+    # stream's count covers all K inner repeats
+    want_per = n_payloads * superblock if pretiled else n_payloads
+    assert (count == want_per).all(), (
         f"bench capture mis-decoded: {np.asarray(count).ravel()[:8]} "
-        f"!= {n_payloads}")
+        f"!= {want_per}")
     import jax as _jax
-    fb0 = _jax.tree.map(lambda a: a[0], frames) if superblock > 1 \
-        else frames
+    if pretiled:
+        # one FrameBatch over the whole superblock — drain it all
+        fb0, want_ok = frames, n_streams * n_payloads * superblock
+    elif superblock > 1:
+        fb0, want_ok = (_jax.tree.map(lambda a: a[0], frames),
+                        n_streams * n_payloads)
+    else:
+        fb0, want_ok = frames, n_streams * n_payloads
     drained = pl.extract_frames(fb0)
     n_ok = sum(sum(1 for f in lst if f.crc_ok) for lst in drained)
-    want_ok = n_streams * n_payloads
     assert n_ok == want_ok, (
         f"bench frames fail CRC after drain: {n_ok} != {want_ok}")
 
@@ -230,6 +272,11 @@ def run_bench(n_streams: int = 256, block_len: int = 49_152,
         "fir": ("mxu" if mxu_fir else "lobe" if lobe_fir else "exact"),
         "sublanes": sublanes, "superblock": superblock,
         "n_streams": n_streams, "unroll": unroll, "guarded": guarded,
+        # pretiled: inputs arrive in the kernel's stream-tile layout
+        # (the host owns its upload layout — tiling done once outside
+        # the timed loop); row-major: [S, T] ingest incl. the in-
+        # dispatch relayout.  Both are real product paths.
+        "input": "pretiled" if pretiled else "row-major",
         # lobe/mxu FIR are packet-parity-gated throughput modes (the
         # byte-parity CLI paths always use the exact FIR); the per-
         # iteration count check above plus the CRC drain gate this run
@@ -243,6 +290,42 @@ def run_bench(n_streams: int = 256, block_len: int = 49_152,
         # 0.939 shard-"overhead" artifacts — the paired protocol
         # re-measured 1.002 (presharded) / 0.996 (unsharded) with the
         # pressure removed (r05 diagnosis)
+        if pretiled:
+            # the shard_map step consumes the [S, K*T] row-major layout
+            # (streams shard across chips); rebuild ONE row-major
+            # variant after freeing the tiled set and measure the
+            # paired shard overhead on the row-major step — identical
+            # semantics to the row-major configs' scaling block
+            for b in bufs:
+                b.delete()
+            del bufs[:], xj, x, frames, carry1, fb0
+            batch, _ = build_batch(n_streams, block_len,
+                                   frames_per_stream, seed=0)
+            b0 = jax.device_put(jnp.asarray(batch))
+            xrm = jax.jit(lambda a: jnp.tile(a, (1, superblock)))(b0) \
+                if superblock > 1 else b0
+            xrm.block_until_ready()
+            if superblock > 1:
+                b0.delete()
+            bufs = [xrm]
+
+            def step_rm(xx, cc):
+                return pl.decode_superblock(
+                    xx, nv, cc, superblock, frame_slots=32,
+                    exact_fir=True, fused_pipeline=fast,
+                    device_crc=device_crc, assume_full=fast, **kflags)
+
+            extra.update(_measure_scaling(
+                step_rm, bufs, wants[:1], n_streams, block_len,
+                superblock, iters,
+                kflags={**kflags, "assume_full": fast}, fast=fast,
+                device_crc=device_crc))
+            extra.update(_measure_timepar())
+            for b in bufs:
+                b.delete()
+            del bufs, xrm, c, d, batch
+            extra.update(_measure_iq())
+            return sps, extra
         del bufs[1:]
         x = xj                    # release the loop's variant reference
         extra.update(_measure_scaling(
@@ -530,7 +613,12 @@ CONFIGS = [
     # snapshots, 12 blocks chained per dispatch to amortize the ~25 ms
     # verified-dispatch round trip (K=16 with 2 resident variants OOMs
     # the 16 GB HBM — measured r5); the pipelined depth-2 block
-    # recovers the remaining fixed cost instead
+    # recovers the remaining fixed cost instead.  pretiled: inputs in
+    # the kernel's native stream-tile layout — the row-major relayout
+    # passes (~37% of the step, profiled r5) never run
+    dict(n_streams=4096, block_len=49_152, iters=8, superblock=12,
+         sublanes=32, mxu_fir=True, unroll=64, guarded=False,
+         scaling=True, pretiled=True),
     dict(n_streams=4096, block_len=49_152, iters=8, superblock=12,
          sublanes=32, mxu_fir=True, unroll=64, guarded=False,
          scaling=True),

@@ -202,6 +202,29 @@ def _to_tiles(x: jax.Array,
             .reshape(nt * t, sublanes, LANES), pad)
 
 
+def tile_superblock(samples: jax.Array, n_blocks: int,
+                    sublanes: int = SUBLANES) -> jax.Array:
+    """[S, K*T] -> [K, nt*T, sb, LANES] per-block stream tiles in ONE
+    transpose pass.
+
+    The fused kernel's native input layout is stream-tile-major (time
+    on sublane-axis rows, streams on lanes).  Feeding decode_superblock
+    row-major [S, K*T] costs three HBM relayout passes per superblock
+    (input layout copy + per-block slice + tiles copy — measured ~37%
+    of the whole decode step at the flagship config, more than the
+    kernel itself).  Callers that can produce or upload this layout
+    directly (the host owns the layout of what it device_puts) skip all
+    of it via decode_superblock(..., pretiled=True)."""
+    s, total = samples.shape
+    assert total % n_blocks == 0, (total, n_blocks)
+    t = total // n_blocks
+    ts = sublanes * LANES
+    nt = n_stream_tiles(s, sublanes)
+    xp = jnp.pad(samples, ((0, nt * ts - s), (0, 0)))
+    return (xp.reshape(nt, ts, n_blocks, t).transpose(2, 0, 3, 1)
+            .reshape(n_blocks, nt * t, sublanes, LANES))
+
+
 def _carry_history(samples: jax.Array, history: jax.Array,
                    n_valid: jax.Array) -> jax.Array:
     """Last FIR_LEN valid raw samples as float32 [S, 36] — without

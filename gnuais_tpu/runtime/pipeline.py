@@ -49,7 +49,8 @@ def init_dpll(n_streams: int):
                                     "device_crc", "mxu_fir", "lobe_fir",
                                     "kernel_sublanes", "kernel_unroll",
                                     "kernel_time_chunk", "with_peak",
-                                    "assume_full", "kernel_guarded"))
+                                    "assume_full", "kernel_guarded",
+                                    "pretiled_streams"))
 def decode_block(samples: jax.Array, n_valid: jax.Array,
                  carry: PipelineCarry, frame_slots: int = 32,
                  exact_fir: bool = True, fast_dpll: bool = False,
@@ -66,7 +67,8 @@ def decode_block(samples: jax.Array, n_valid: jax.Array,
                  assume_full: bool = False,
                  kernel_guarded: bool = True,
                  lost2_lo: jax.Array | None = None,
-                 lost2_hi: jax.Array | None = None
+                 lost2_hi: jax.Array | None = None,
+                 pretiled_streams: int | None = None
                  ) -> Tuple[PipelineCarry, demod.FrameBatch, jax.Array]:
     """samples: int16 [S, T]; n_valid: scalar int32 (samples actually
     present — short final blocks are padded to T).  Returns
@@ -85,6 +87,50 @@ def decode_block(samples: jax.Array, n_valid: jax.Array,
     frames into the slots; rejects are counted in frames.crcfail — the
     drain then reads back CRC-passing frames only.
     """
+    if pretiled_streams is not None:
+        # samples is ALREADY stream-tile-major [nt*T, sb, LANES] (from
+        # ops.fused.tile_superblock or an upload in that layout): the
+        # three HBM relayout passes of the row-major path never happen.
+        # Fused-kernel path only; the per-stream raw peak would need the
+        # row-major view, so level monitoring stays on that path.
+        # assume_full: the pretiled history carry reads the block's
+        # tail rows, which is only the true FIR history when every
+        # sample is valid (full blocks)
+        assert fused_pipeline and not with_peak and assume_full
+        from gnuais_tpu.ops.fused import n_stream_tiles, pipeline_fused
+        s = pretiled_streams
+        nt = n_stream_tiles(s, kernel_sublanes)
+        t = samples.shape[0] // nt
+        (cand_valid, cw, cl, cs, ce, lost2, over,
+         history, dpll_state, hdlc_state) = pipeline_fused(
+            samples, n_valid, carry.history, carry.dpll, carry.hdlc,
+            block_base=block_base,
+            fir_mode=("mxu" if mxu_fir else
+                      "lobe" if lobe_fir else "vpu"),
+            lost2_lo=lost2_lo, lost2_hi=lost2_hi,
+            sublanes=kernel_sublanes, unroll=kernel_unroll,
+            time_chunk=kernel_time_chunk, assume_full=assume_full,
+            guarded=kernel_guarded, pretiled_streams=s)
+        frames = demod.compact_candidates(
+            demod.init_frames(s, frame_slots),
+            cand_valid, cw, cl, cs, ce, lost2=lost2, over=over)
+        if device_crc:
+            from gnuais_tpu.ops import crc as crc_ops
+            ok = crc_ops.crc_check_frames_linear(
+                frames.words.reshape(-1, frames.words.shape[-1]),
+                frames.length.reshape(-1)).reshape(s, frame_slots)
+            present = (jnp.arange(frame_slots)[None, :]
+                       < frames.count[:, None])
+            crcfail = jnp.sum(present & jnp.logical_not(ok),
+                              axis=1).astype(jnp.int32)
+            kept = demod.compact_candidates(
+                demod.init_frames(s, frame_slots), present & ok,
+                frames.words, frames.length, frames.start, frames.end,
+                lost2=frames.lost2, over=frames.dropped)
+            frames = kept._replace(crcfail=crcfail)
+        peak = jnp.zeros((s,), jnp.int32)
+        return (PipelineCarry(history, dpll_state, hdlc_state),
+                frames, peak)
     t = samples.shape[1]
     if fused_pipeline:
         from gnuais_tpu.ops.fused import pipeline_fused
@@ -177,7 +223,7 @@ def decode_block(samples: jax.Array, n_valid: jax.Array,
                                     "mxu_fir", "lobe_fir", "kernel_sublanes",
                                     "kernel_unroll", "kernel_time_chunk",
                                     "with_peak", "assume_full",
-                                    "kernel_guarded"))
+                                    "kernel_guarded", "pretiled_streams"))
 def decode_superblock(samples: jax.Array, n_valid: jax.Array,
                       carry: PipelineCarry, n_blocks: int,
                       frame_slots: int = 32,
@@ -197,16 +243,32 @@ def decode_superblock(samples: jax.Array, n_valid: jax.Array,
 
     Semantics are identical to n_blocks sequential decode_block calls
     (same flags, same T); see tests/test_superblock.py.
+
+    With ``pretiled_streams=S`` set, ``samples`` is ALREADY in the fused
+    kernel's native layout [K, nt*T, sb, LANES] (from
+    ops.fused.tile_superblock, or uploaded tile-major by the host) and
+    NO relayout pass runs inside the dispatch — the row-major path's
+    input layout copies cost ~37% of the whole step at the flagship
+    config (profiled r5).  Requires assume_full (full blocks).
     """
-    s, total = samples.shape
-    assert total % n_blocks == 0, (total, n_blocks)
-    t = total // n_blocks
-    # the [K, S, T] transpose costs a read+write of the whole
-    # superblock, but scan consuming pre-transposed slices measured
-    # FASTER than dynamic-slicing blocks out of the flat buffer inside
-    # the body (9.0 vs 10.0 Gsamp/s at S=4096) — the copy pays for
-    # better-pipelined per-step input DMA
-    xs = samples.reshape(s, n_blocks, t).transpose(1, 0, 2)   # [K, S, T]
+    pretiled = flags.get("pretiled_streams") is not None
+    if pretiled:
+        s = flags["pretiled_streams"]
+        assert samples.shape[0] == n_blocks, (samples.shape, n_blocks)
+        from gnuais_tpu.ops.fused import n_stream_tiles
+        nt = n_stream_tiles(s, flags.get("kernel_sublanes", 8))
+        t = samples.shape[1] // nt
+        xs = samples                      # [K, nt*T, sb, LANES]
+    else:
+        s, total = samples.shape
+        assert total % n_blocks == 0, (total, n_blocks)
+        t = total // n_blocks
+        # the [K, S, T] transpose costs a read+write of the whole
+        # superblock, but scan consuming pre-transposed slices measured
+        # FASTER than dynamic-slicing blocks out of the flat buffer
+        # inside the body (9.0 vs 10.0 Gsamp/s at S=4096) — the copy
+        # pays for better-pipelined per-step input DMA
+        xs = samples.reshape(s, n_blocks, t).transpose(1, 0, 2)
     base = jnp.asarray(block_base, dtype=jnp.int32)
 
     def body(c, xk):

@@ -195,6 +195,52 @@ def test_tpu_superblock_scan():
     assert np.array_equal(total, want_f.count)
 
 
+def test_tpu_superblock_pretiled_bitexact():
+    """The pretiled input path (decode_superblock(pretiled_streams=S)
+    on tile_superblock'd layout — the flagship throughput format) must
+    be bit-identical to the row-major superblock on real silicon:
+    frames AND carry, with the same kernel flags."""
+    from gnuais_tpu.ops.fused import tile_superblock
+
+    _require_tpu()
+    s, t, k = 8, 2048, 3
+    x = _noisy_batch(s, k * t, seed=23, n_payloads=4, gap_bits=24)
+    flags = dict(frame_slots=16, fused_pipeline=True, assume_full=True,
+                 kernel_guarded=False)
+    xd = jax.device_put(jnp.asarray(x), _tpu())
+    carry = jax.device_put(pl.init_carry(s), _tpu())
+    c1, f1, _ = pl.decode_superblock(xd, jnp.int32(k * t), carry, k,
+                                     **flags)
+    xt = jax.jit(lambda a: tile_superblock(a, k, 8))(xd)
+    c2, f2, _ = pl.decode_superblock(xt, jnp.int32(k * t), carry, k,
+                                     with_peak=False,
+                                     pretiled_streams=s, **flags)
+    _assert_equal_tree(jax.tree.map(np.asarray, f1),
+                       jax.tree.map(np.asarray, f2))
+    _assert_equal_tree(jax.tree.map(np.asarray, c1),
+                       jax.tree.map(np.asarray, c2))
+
+    # single-grid long call (the flagship bench mode): one decode_block
+    # walks the whole time axis — frames merge per stream, carry exact
+    xf = jax.jit(lambda a: tile_superblock(a, 1, 8)[0])(xd)
+    c3, f3, _ = pl.decode_block(xf, jnp.int32(k * t), carry,
+                                frame_slots=48, fused_pipeline=True,
+                                assume_full=True, kernel_guarded=False,
+                                with_peak=False, pretiled_streams=s)
+    f1h = jax.tree.map(np.asarray, f1)
+    f3h = jax.tree.map(np.asarray, f3)
+    for si in range(s):
+        ref = [(int(f1h.start[b, si, j]), int(f1h.end[b, si, j]),
+                int(f1h.length[b, si, j]), tuple(f1h.words[b, si, j]))
+               for b in range(k) for j in range(int(f1h.count[b, si]))]
+        got = [(int(f3h.start[si, j]), int(f3h.end[si, j]),
+                int(f3h.length[si, j]), tuple(f3h.words[si, j]))
+               for j in range(int(f3h.count[si]))]
+        assert ref == got, si
+    _assert_equal_tree(jax.tree.map(np.asarray, c1),
+                       jax.tree.map(np.asarray, c3))
+
+
 def test_tpu_wide_sublane_tiles_bitexact():
     """kernel_sublanes=16 (wider stream tiles: more independent lane
     chains pipelining the latency-bound recurrence) must stay

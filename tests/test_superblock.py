@@ -58,6 +58,52 @@ def test_superblock_fused_pipeline():
                                     fused_pipeline=True)
 
 
+def test_superblock_pretiled_parity():
+    """decode_superblock(pretiled_streams=S) on tile_superblock'd input
+    must be bit-identical (frames + carry) to the row-major path — the
+    layout is the flagship throughput format (the in-dispatch relayout
+    passes it skips cost ~37% of the step at scale, profiled r5)."""
+    from gnuais_tpu.ops.fused import tile_superblock
+
+    s, t, k = 12, 2048, 3
+    x = _noisy_batch(s, k * t, seed=11, n_payloads=5, gap_bits=24)
+    flags = dict(frame_slots=16, fused_pipeline=True, assume_full=True,
+                 kernel_guarded=False)
+    c0 = init_carry(s)
+    c1, f1, _ = decode_superblock(jnp.asarray(x), jnp.int32(k * t), c0,
+                                  k, **flags)
+    xt = tile_superblock(jnp.asarray(x), k, 8)
+    c2, f2, _ = decode_superblock(xt, jnp.int32(k * t), c0, k,
+                                  with_peak=False, pretiled_streams=s,
+                                  **flags)
+    for b in range(k):
+        _frames_equal(jax.tree.map(lambda a, b=b: a[b], f1),
+                      jax.tree.map(lambda a, b=b: a[b], f2))
+    _carry_equal(c1, c2)
+
+    # single-grid long call: the kernel grid chains carry across time
+    # chunks natively, so the whole superblock decodes in ONE
+    # decode_block call with no scan — the flagship bench mode.  The
+    # merged frame sequence and the carry must match the stacked
+    # superblock exactly.
+    xf = tile_superblock(jnp.asarray(x), 1, 8)[0]
+    c3, f3, _ = decode_block(xf, jnp.int32(k * t), c0, frame_slots=48,
+                             with_peak=False, pretiled_streams=s,
+                             **flags)
+    f1h = jax.tree.map(np.asarray, f1)
+    f3h = jax.tree.map(np.asarray, f3)
+    for si in range(s):
+        ref = [(int(f1h.start[b, si, j]), int(f1h.end[b, si, j]),
+                int(f1h.length[b, si, j]), tuple(f1h.words[b, si, j]))
+               for b in range(k) for j in range(int(f1h.count[b, si]))]
+        got = [(int(f3h.start[si, j]), int(f3h.end[si, j]),
+                int(f3h.length[si, j]), tuple(f3h.words[si, j]))
+               for j in range(int(f3h.count[si]))]
+        assert ref == got, si
+    assert np.array_equal(f1h.lost2.sum(axis=0), f3h.lost2)
+    _carry_equal(c1, c3)
+
+
 def test_batchpipeline_process_superblock_end_to_end():
     """process_superblock drains stacked FrameBatches in block order and
     keeps counters identical to the per-block path."""
