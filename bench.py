@@ -74,7 +74,8 @@ def run_bench(n_streams: int = 256, block_len: int = 49_152,
               scaling: bool = False, superblock: int = 1,
               sublanes: int = 8, lobe_fir: bool = False,
               mxu_fir: bool = False, unroll: int = 32,
-              guarded: bool = True, pretiled: bool = False):
+              guarded: bool = True, pretiled: bool = False,
+              compact: bool = False):
     """Verified throughput measurement.
 
     The TPU plugin dedupes repeated identical dispatches, a repeated
@@ -173,11 +174,15 @@ def run_bench(n_streams: int = 256, block_len: int = 49_152,
         # (n_valid == T), so the kernel's per-sample valid gates are
         # compiled out (bit-identical for full blocks, tested)
         if pretiled:
+            # kernel_compact: frames land dense inside the kernel (the
+            # ~99%-empty candidate axis never reaches HBM) — measured
+            # +48% on the pipelined steady state at the flagship config
             return pl.decode_block(x, nv, c, frame_slots=pret_slots,
                                    fused_pipeline=True,
                                    device_crc=device_crc,
                                    assume_full=True, with_peak=False,
                                    pretiled_streams=n_streams,
+                                   kernel_compact=compact,
                                    **kflags)
         if superblock > 1:
             return pl.decode_superblock(x, nv, c, superblock,
@@ -277,6 +282,7 @@ def run_bench(n_streams: int = 256, block_len: int = 49_152,
         # the timed loop); row-major: [S, T] ingest incl. the in-
         # dispatch relayout.  Both are real product paths.
         "input": "pretiled" if pretiled else "row-major",
+        "kernel_compact": bool(compact),
         # lobe/mxu FIR are packet-parity-gated throughput modes (the
         # byte-parity CLI paths always use the exact FIR); the per-
         # iteration count check above plus the CRC drain gate this run
@@ -618,6 +624,9 @@ CONFIGS = [
     # passes (~37% of the step, profiled r5) never run
     dict(n_streams=4096, block_len=49_152, iters=8, superblock=12,
          sublanes=32, mxu_fir=True, unroll=64, guarded=False,
+         scaling=True, pretiled=True, compact=True),
+    dict(n_streams=4096, block_len=49_152, iters=8, superblock=12,
+         sublanes=32, mxu_fir=True, unroll=64, guarded=False,
          scaling=True, pretiled=True),
     dict(n_streams=4096, block_len=49_152, iters=8, superblock=12,
          sublanes=32, mxu_fir=True, unroll=64, guarded=False,
@@ -628,7 +637,12 @@ CONFIGS = [
          sublanes=32, lobe_fir=True, scaling=True),
     # bit-exact: exact-order-FIR kernel (recorded as the "bit_exact"
     # block when a gated-FIR config is the headline); 32-sublane tiles
-    # fit VMEM since the Mosaic cap was raised
+    # fit VMEM since the Mosaic cap was raised.  First entry rides the
+    # pretiled + in-kernel-compact fast path (layout and compaction do
+    # not touch FIR arithmetic — bit-exactness is a property of the
+    # exact-order in-kernel FIR, pinned by the parity tiers).
+    dict(n_streams=4096, block_len=49_152, iters=8, superblock=12,
+         sublanes=32, guarded=False, pretiled=True, compact=True),
     dict(n_streams=4096, block_len=49_152, iters=8, superblock=12,
          sublanes=32, guarded=False, scaling=True),
     dict(n_streams=2048, block_len=49_152, iters=8, superblock=12,

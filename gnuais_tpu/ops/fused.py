@@ -639,17 +639,13 @@ def _fir_band_matrix(unroll: int) -> np.ndarray:
 
 
 def _pipeline_kernel(scal_ref, x_ref, pll_in, prev_in, last_in, hist_in,
-                     hst_in, sreg_in,
-                     mwords_ref, mlen_ref, mstart_ref, mend_ref, mcnt_ref,
-                     pll_out, prev_out, last_out, hst_out, sreg_out,
-                     lost2_out, over_out,
-                     state, hist, hst, sreg, mwords, mlen, mstart, mend,
-                     mctr,
+                     hst_in, sreg_in, *refs,
                      unroll: int = 32, guarded: bool = True,
                      chunks_per_tile: int | None = None,
                      with_fir: bool = True, fir_mode: str = "vpu",
                      amat_ref=None, assume_full: bool = False,
-                     strip: str = "", landing: str = "slot"):
+                     strip: str = "", landing: str = "slot",
+                     compact_slots: int | None = None):
     """One grid step of the fully fused decode pipeline.
 
     scal_ref: [4] int32 = (n_valid, block_base, lost2_lo, lost2_hi).
@@ -673,7 +669,31 @@ def _pipeline_kernel(scal_ref, x_ref, pll_in, prev_in, last_in, hist_in,
     latches (emit/bad accumulate, flen/spos picks) and the mini-buffer
     merge runs once per body (8-16x fewer VMEM RMWs; bit-identical,
     pinned by the fused parity tests in both landings).
+
+    compact_slots=F replaces the per-chunk mini-buffer HBM stream with
+    IN-KERNEL compaction: each tile keeps an [F, REG_WORDS+3] candidate
+    buffer resident in VMEM (a revisited output block) and, at every
+    HDLC-chunk flush, merges the chunk's mini slots into it at the
+    lane's RUNNING frame count — arrival order, exactly
+    demod.compact_candidates' destination rule.  The ~99%-empty
+    candidate stream (the r5 profile's dominant glue: ~1.4 GB written,
+    transposed and gathered per flagship dispatch) never exists; the
+    XLA side reads back the dense [F] slots and counters only.
+    Requires landing="body".
     """
+    if compact_slots is None:
+        (mwords_ref, mlen_ref, mstart_ref, mend_ref, mcnt_ref,
+         pll_out, prev_out, last_out, hst_out, sreg_out,
+         lost2_out, over_out,
+         state, hist, hst, sreg, mwords, mlen, mstart, mend,
+         mctr) = refs
+    else:
+        assert landing == "body" and not strip
+        (cw_ref, cf_ref, cnt_ref,
+         pll_out, prev_out, last_out, hst_out, sreg_out,
+         lost2_out, over_out,
+         state, hist, hst, sreg, mwords, mlen, mstart, mend,
+         mctr) = refs
     tc = x_ref.shape[0]
     idx = pl.program_id(0)
     cpt = chunks_per_tile or pl.num_programs(0)
@@ -691,6 +711,11 @@ def _pipeline_kernel(scal_ref, x_ref, pll_in, prev_in, last_in, hist_in,
         hst[:] = hst_in[:]
         sreg[:] = sreg_in[:]
         mctr[:] = jnp.zeros(mctr.shape, dtype=jnp.int32)
+        if compact_slots is not None:
+            # deterministic empty slots (init_frames zeros), once per
+            # tile — the count gates validity either way
+            cw_ref[:] = jnp.zeros(cw_ref.shape, dtype=jnp.uint32)
+            cf_ref[:] = jnp.zeros(cf_ref.shape, dtype=jnp.int32)
 
     n_valid = scal_ref[0]
     block_base = scal_ref[1]
@@ -882,7 +907,58 @@ def _pipeline_kernel(scal_ref, x_ref, pll_in, prev_in, last_in, hist_in,
 
         flush = (u % bodies_per_hchunk) == bodies_per_hchunk - 1
 
-        if "flush" not in strip:
+        if compact_slots is not None:
+            # merge this chunk's mini slots into the tile's resident
+            # candidate buffer at the lane's running count (arrival
+            # order == compact_candidates' destination rule).  Mini
+            # slot 0 merges unguarded (with thousands of lanes some
+            # lane completes a frame in most 256-sample chunks); slot
+            # 1 — two completions in one chunk needs back-to-back
+            # minimal frames — is guarded and almost never taken.
+            rcnt = mctr[3]
+
+            def merge_minis(rcnt=rcnt, mcnt=mcnt):
+                # the destination cascade is PAGED: lanes' running
+                # counts cluster (they all advance at the traffic
+                # rate), so per merge usually ONE 16-slot page is
+                # occupied — the page guards cost a handful of
+                # cross-lane reduces per 256 samples and skip ~3/4 of
+                # the select cascade (vs the unpaged form; correctness
+                # does not depend on clustering — a worst-case spread
+                # just fires every page)
+                PG = min(16, compact_slots)   # PG=8 measured slower
+                #                               (more guard reduces)
+                for m in range(MINI_SLOTS):
+                    def do_m(m=m):
+                        occ = mcnt > m
+                        dstv = rcnt + m
+                        write = occ & (dstv < compact_slots)
+                        for pg in range(0, compact_slots, PG):
+                            hit = write & (dstv >= pg) & (dstv < pg + PG)
+
+                            def do_pg(pg=pg, hit=hit, dstv=dstv):
+                                for d in range(pg, pg + PG):
+                                    sel = hit & (dstv == d)
+                                    for w in range(REG_WORDS):
+                                        cw_ref[d, w] = jnp.where(
+                                            sel, mwords[m, w],
+                                            cw_ref[d, w])
+                                    cf_ref[d, 0] = jnp.where(
+                                        sel, mlen[m], cf_ref[d, 0])
+                                    cf_ref[d, 1] = jnp.where(
+                                        sel, mstart[m], cf_ref[d, 1])
+                                    cf_ref[d, 2] = jnp.where(
+                                        sel, mend[m], cf_ref[d, 2])
+
+                            pl.when(jnp.any(hit))(do_pg)
+                    if m == 0:
+                        do_m()
+                    else:
+                        pl.when(jnp.any(mcnt > m))(do_m)
+
+            pl.when(flush)(merge_minis)
+            mctr[3] = jnp.where(flush, rcnt + mcnt, rcnt)
+        elif "flush" not in strip:
             @pl.when(flush)
             def _():
                 c = u // bodies_per_hchunk
@@ -908,6 +984,8 @@ def _pipeline_kernel(scal_ref, x_ref, pll_in, prev_in, last_in, hist_in,
         sreg_out[:] = sreg[:]
         lost2_out[:] = mctr[1]
         over_out[:] = mctr[2]
+        if compact_slots is not None:
+            cnt_ref[:] = mctr[3]    # raw running count (clip host-side)
 
 
 def _hdlc_state_to_tiles(h: HdlcState, sublanes: int = SUBLANES
@@ -1172,4 +1250,182 @@ def pipeline_fused(samples: jax.Array, n_valid: jax.Array,
     )
     new_hdlc = _tiles_to_hdlc_state(hvt2, hrt2, s, sb)
     return (cand_valid, cw, cl, cs, ce, lost2, over,
+            new_history, new_dpll, new_hdlc)
+
+
+def pipeline_fused_compact(samples: jax.Array, n_valid: jax.Array,
+                           history: jax.Array, dpll: DpllState,
+                           hdlc: HdlcState, frame_slots: int = 32,
+                           block_base: jax.Array | int = 0,
+                           time_chunk: int = 512,
+                           interpret: bool | None = None,
+                           unroll: int = 32, guarded: bool = True,
+                           fir_mode: str = "vpu",
+                           lost2_lo: jax.Array | None = None,
+                           lost2_hi: jax.Array | None = None,
+                           sublanes: int = SUBLANES,
+                           assume_full: bool = False,
+                           pretiled_streams: int | None = None):
+    """pipeline_fused with IN-KERNEL candidate compaction.
+
+    Same decode semantics, but the frame slots come out of the kernel
+    already dense: per stream, ``words [S, F, REG_WORDS]``,
+    ``length/start/end [S, F]`` (F = frame_slots) in arrival order with
+    zeroed empty slots, plus ``count_raw [S]`` (unclipped emission
+    count), ``lost2 [S]`` and ``over [S]`` — exactly what
+    demod.compact_candidates would produce from the mini-buffer stream
+    (bit-identical; pinned by tests), without ever materializing the
+    ~99%-empty [S, K] candidate axis in HBM.  The flagship profile
+    attributed ~45% of post-kernel glue to that axis (write, transpose,
+    gather); here the XLA side reads back ~19 MB of dense slots.
+
+    Returns (count_raw, words, length, start, end, lost2, over,
+    new_history, new_dpll, new_hdlc).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    sb = sublanes
+    if pretiled_streams is not None:
+        s = pretiled_streams
+        nt = n_stream_tiles(s, sb)
+        t = samples.shape[0] // nt
+        tiles = samples
+    else:
+        s, t = samples.shape
+        nt = n_stream_tiles(s, sb)
+    assert t % time_chunk == 0 and time_chunk % unroll == 0 \
+        and unroll % 4 == 0 and time_chunk % (4 * HDLC_CHUNK) == 0, \
+        (t, time_chunk, unroll)
+    assert unroll // 4 <= 24      # body landing (see pipeline_fused)
+    ts = sb * LANES
+    cpt = t // time_chunk
+    F = frame_slots
+    if pretiled_streams is None:
+        tiles, _pad = _to_tiles(samples, sb)
+    hist_t = jnp.pad(history, ((0, nt * ts - s), (0, 0))) \
+        .reshape(nt, ts, C.FIR_LEN).transpose(0, 2, 1) \
+        .reshape(nt * C.FIR_LEN, sb, LANES)
+    hvt, hrt = _hdlc_state_to_tiles(hdlc, sb)
+
+    tile2 = pl.BlockSpec((sb, LANES), lambda i, nv: (i // cpt, 0))
+    base_kernel = functools.partial(
+        _pipeline_kernel, unroll=unroll, guarded=guarded,
+        chunks_per_tile=cpt, with_fir=True, fir_mode=fir_mode,
+        assume_full=assume_full, landing="body", compact_slots=F)
+    if fir_mode == "mxu":
+        def kernel_fn(scal, x, pll, prev, last, hin, hst0, srg0, amat,
+                      *rest):
+            return base_kernel(scal, x, pll, prev, last, hin, hst0, srg0,
+                               *rest, amat_ref=amat)
+        extra_in = [jnp.asarray(_fir_band_matrix(unroll))]
+        extra_specs = [pl.BlockSpec((unroll, C.FIR_LEN + unroll),
+                                    lambda i, nv: (0, 0))]
+    else:
+        kernel_fn = base_kernel
+        extra_in, extra_specs = [], []
+    kernel = pl.pallas_call(
+        kernel_fn,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nt * cpt,),
+            in_specs=[
+                pl.BlockSpec((time_chunk, sb, LANES),
+                             lambda i, nv: (i, 0, 0)),
+                tile2, tile2, tile2,
+                pl.BlockSpec((C.FIR_LEN, sb, LANES),
+                             lambda i, nv: (i // cpt, 0, 0)),
+                pl.BlockSpec((HDLC_VARS, sb, LANES),
+                             lambda i, nv: (i // cpt, 0, 0)),
+                pl.BlockSpec((REG_WORDS, sb, LANES),
+                             lambda i, nv: (i // cpt, 0, 0)),
+                *extra_specs,
+            ],
+            out_specs=[
+                # revisited per-tile blocks: the candidate buffer lives
+                # in VMEM for the whole tile and flushes once
+                pl.BlockSpec((F, REG_WORDS, sb, LANES),
+                             lambda i, nv: (i // cpt, 0, 0, 0)),
+                pl.BlockSpec((F, 3, sb, LANES),
+                             lambda i, nv: (i // cpt, 0, 0, 0)),
+                tile2,
+                tile2, tile2, tile2,
+                pl.BlockSpec((HDLC_VARS, sb, LANES),
+                             lambda i, nv: (i // cpt, 0, 0)),
+                pl.BlockSpec((REG_WORDS, sb, LANES),
+                             lambda i, nv: (i // cpt, 0, 0)),
+                tile2, tile2,
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((3, sb, LANES), jnp.int32),
+                pltpu.VMEM((C.FIR_LEN, sb, LANES), jnp.float32),
+                pltpu.VMEM((HDLC_VARS, sb, LANES), jnp.int32),
+                pltpu.VMEM((REG_WORDS, sb, LANES), jnp.uint32),
+                pltpu.VMEM((MINI_SLOTS, REG_WORDS, sb, LANES),
+                           jnp.uint32),
+                pltpu.VMEM((MINI_SLOTS, sb, LANES), jnp.int32),
+                pltpu.VMEM((MINI_SLOTS, sb, LANES), jnp.int32),
+                pltpu.VMEM((MINI_SLOTS, sb, LANES), jnp.int32),
+                pltpu.VMEM((4, sb, LANES), jnp.int32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((nt * F, REG_WORDS, sb, LANES),
+                                 jnp.uint32),
+            jax.ShapeDtypeStruct((nt * F, 3, sb, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((nt * sb, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((nt * sb, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((nt * sb, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((nt * sb, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((nt * HDLC_VARS, sb, LANES),
+                                 jnp.int32),
+            jax.ShapeDtypeStruct((nt * REG_WORDS, sb, LANES),
+                                 jnp.uint32),
+            jax.ShapeDtypeStruct((nt * sb, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((nt * sb, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+    )
+    if lost2_lo is None:
+        lost2_lo = jnp.int32(-2**31)
+    if lost2_hi is None:
+        lost2_hi = jnp.int32(2**31 - 1)
+    scal = jnp.stack([jnp.asarray(n_valid, jnp.int32),
+                      jnp.asarray(block_base, jnp.int32),
+                      jnp.asarray(lost2_lo, jnp.int32),
+                      jnp.asarray(lost2_hi, jnp.int32)])
+    (cw_t, cf_t, cnt_t, pll2, prev2, last2,
+     hvt2, hrt2, lost2_t, over_t) = kernel(
+        scal, tiles,
+        _state_to_tiles(dpll.pll, sb),
+        _state_to_tiles(dpll.prev, sb),
+        _state_to_tiles(dpll.lastbit, sb),
+        hist_t, hvt, hrt, *extra_in)
+
+    # dense unpack: [nt*F, W, sb, LANES] -> [S, F, W] (19 MB-scale)
+    words = cw_t.reshape(nt, F, REG_WORDS, ts).transpose(0, 3, 1, 2) \
+        .reshape(nt * ts, F, REG_WORDS)[:s]
+    cf = cf_t.reshape(nt, F, 3, ts).transpose(0, 3, 1, 2) \
+        .reshape(nt * ts, F, 3)[:s]
+    length, start, end = cf[:, :, 0], cf[:, :, 1], cf[:, :, 2]
+    count_raw = _tiles_to_state(cnt_t, s)
+    lost2 = _tiles_to_state(lost2_t, s)
+    over = _tiles_to_state(over_t, s)
+
+    if pretiled_streams is not None:
+        new_history = (tiles.reshape(nt, t, sb, LANES)[:, t - C.FIR_LEN:]
+                       .transpose(0, 2, 3, 1)
+                       .reshape(nt * ts, C.FIR_LEN)[:s]
+                       .astype(jnp.float32))
+    else:
+        new_history = _carry_history(samples, history, n_valid)
+
+    new_dpll = DpllState(
+        pll=_tiles_to_state(pll2, s),
+        prev=_tiles_to_state(prev2, s),
+        lastbit=_tiles_to_state(last2, s),
+    )
+    new_hdlc = _tiles_to_hdlc_state(hvt2, hrt2, s, sb)
+    return (count_raw, words, length, start, end, lost2, over,
             new_history, new_dpll, new_hdlc)

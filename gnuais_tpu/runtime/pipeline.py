@@ -50,7 +50,7 @@ def init_dpll(n_streams: int):
                                     "kernel_sublanes", "kernel_unroll",
                                     "kernel_time_chunk", "with_peak",
                                     "assume_full", "kernel_guarded",
-                                    "pretiled_streams"))
+                                    "pretiled_streams", "kernel_compact"))
 def decode_block(samples: jax.Array, n_valid: jax.Array,
                  carry: PipelineCarry, frame_slots: int = 32,
                  exact_fir: bool = True, fast_dpll: bool = False,
@@ -68,7 +68,8 @@ def decode_block(samples: jax.Array, n_valid: jax.Array,
                  kernel_guarded: bool = True,
                  lost2_lo: jax.Array | None = None,
                  lost2_hi: jax.Array | None = None,
-                 pretiled_streams: int | None = None
+                 pretiled_streams: int | None = None,
+                 kernel_compact: bool = False
                  ) -> Tuple[PipelineCarry, demod.FrameBatch, jax.Array]:
     """samples: int16 [S, T]; n_valid: scalar int32 (samples actually
     present — short final blocks are padded to T).  Returns
@@ -87,6 +88,54 @@ def decode_block(samples: jax.Array, n_valid: jax.Array,
     frames into the slots; rejects are counted in frames.crcfail — the
     drain then reads back CRC-passing frames only.
     """
+    if kernel_compact:
+        # in-kernel candidate compaction: the kernel emits DENSE frame
+        # slots per stream (arrival order, zeroed empties) — the
+        # [S, K] candidate axis (~99% empty; its write+transpose+gather
+        # dominated post-kernel glue in the r5 profile) never exists.
+        # Bit-identical to pipeline_fused + demod.compact_candidates.
+        assert fused_pipeline
+        from gnuais_tpu.ops.fused import pipeline_fused_compact
+        if pretiled_streams is not None:
+            assert not with_peak and assume_full
+            s = pretiled_streams
+        else:
+            s = samples.shape[0]
+        (count_raw, words, length, start, end, lost2, over,
+         history, dpll_state, hdlc_state) = pipeline_fused_compact(
+            samples, n_valid, carry.history, carry.dpll, carry.hdlc,
+            frame_slots=frame_slots, block_base=block_base,
+            fir_mode=("mxu" if mxu_fir else
+                      "lobe" if lobe_fir else "vpu"),
+            lost2_lo=lost2_lo, lost2_hi=lost2_hi,
+            sublanes=kernel_sublanes, unroll=kernel_unroll,
+            time_chunk=kernel_time_chunk, assume_full=assume_full,
+            guarded=kernel_guarded, pretiled_streams=pretiled_streams)
+        frames = demod.FrameBatch(
+            words=words, length=length, start=start, end=end,
+            count=jnp.minimum(count_raw, frame_slots),
+            lost2=lost2,
+            dropped=over + jnp.maximum(count_raw - frame_slots, 0),
+            crcfail=jnp.zeros((s,), jnp.int32))
+        if device_crc:
+            from gnuais_tpu.ops import crc as crc_ops
+            ok = crc_ops.crc_check_frames_linear(
+                frames.words.reshape(-1, frames.words.shape[-1]),
+                frames.length.reshape(-1)).reshape(s, frame_slots)
+            present = (jnp.arange(frame_slots)[None, :]
+                       < frames.count[:, None])
+            crcfail = jnp.sum(present & jnp.logical_not(ok),
+                              axis=1).astype(jnp.int32)
+            kept = demod.compact_candidates(
+                demod.init_frames(s, frame_slots), present & ok,
+                frames.words, frames.length, frames.start, frames.end,
+                lost2=frames.lost2, over=frames.dropped)
+            frames = kept._replace(crcfail=crcfail)
+        peak = fir.block_peak(samples) \
+            if (with_peak and pretiled_streams is None) \
+            else jnp.zeros((s,), jnp.int32)
+        return (PipelineCarry(history, dpll_state, hdlc_state),
+                frames, peak)
     if pretiled_streams is not None:
         # samples is ALREADY stream-tile-major [nt*T, sb, LANES] (from
         # ops.fused.tile_superblock or an upload in that layout): the

@@ -120,6 +120,90 @@ def test_fused_pipeline_landing_body_equals_slot():
         assert int(np.asarray(outs["body"][0]).sum()) >= s - 1
 
 
+def test_kernel_compact_default_tier_parity():
+    """In-kernel candidate compaction (kernel_compact=True: the kernel
+    lands frames at the lane's running count in a VMEM-resident slot
+    buffer; the ~99%-empty [S, K] candidate axis never reaches HBM)
+    must be bit-identical to pipeline_fused + compact_candidates —
+    frames, counters, dropped accounting and carries — on frames,
+    masking and a lost2 position gate.  Shape and flags match
+    test_fused_pipeline_default_tier_parity so the non-compact side
+    reuses that test's compiled program (interpret-mode XLA compiles
+    dominate this tier's wall time); slot overflow and the
+    back-to-back minimal-frame sweep run in `-m slow`."""
+    s, t = 4, 2560
+    x = _noisy_batch(s, t, n_payloads=1, gap_bits=8)
+
+    def cmp(nv, lo=-2**31, hi=2**31 - 1):
+        # the bounds ride as DYNAMIC scalars so all three cases share
+        # one compiled program per path (two compiles total)
+        c0 = init_carry(s)
+        c1, f1, _ = decode_block(jnp.asarray(x), jnp.int32(nv), c0,
+                                 frame_slots=8, fused_pipeline=True,
+                                 lost2_lo=jnp.int32(lo),
+                                 lost2_hi=jnp.int32(hi))
+        c2, f2, _ = decode_block(jnp.asarray(x), jnp.int32(nv), c0,
+                                 frame_slots=8, fused_pipeline=True,
+                                 lost2_lo=jnp.int32(lo),
+                                 lost2_hi=jnp.int32(hi),
+                                 kernel_compact=True)
+        _frames_equal(f1, f2)
+        assert np.array_equal(np.asarray(f1.crcfail),
+                              np.asarray(f2.crcfail))
+        _carry_equal(c1, c2)
+        return f1
+
+    f = cmp(t)
+    assert np.asarray(f.count).max() >= 1
+    cmp(t - 700)                                       # masked tail
+    cmp(t, lo=500, hi=2000)                            # position gate
+
+
+@pytest.mark.slow
+def test_kernel_compact_slot_overflow():
+    """frame_slots smaller than the frame count: the running-count
+    landing must clip writes and report dropped identically to
+    compact_candidates' overflow accounting."""
+    s, t = 4, 4096
+    x = _noisy_batch(s, t, seed=13, n_payloads=4, gap_bits=30)
+    c0 = init_carry(s)
+    c1, f1, _ = decode_block(jnp.asarray(x), jnp.int32(t), c0,
+                             frame_slots=1, fused_pipeline=True)
+    c2, f2, _ = decode_block(jnp.asarray(x), jnp.int32(t), c0,
+                             frame_slots=1, fused_pipeline=True,
+                             kernel_compact=True)
+    _frames_equal(f1, f2)
+    _carry_equal(c1, c2)
+
+
+@pytest.mark.slow
+def test_kernel_compact_backtoback_minimal_frames():
+    """Back-to-back MINIMAL hand-crafted frames (1-byte payload, zero
+    inter-frame gap — the densest emission pattern the deframer's own
+    state machine permits, ~69 slots stop-to-stop) swept across chunk
+    alignments: the running-count landing must stay bit-identical to
+    compact_candidates at every phase, including stops on either side
+    of a chunk boundary (consecutive flush merges)."""
+    tiny = E.frame_line_bits(np.zeros(8, dtype=np.uint8))  # ~60 bits
+    for lead in range(0, 56, 8):
+        bits = [1] * (16 + lead) + list(tiny) + list(tiny) + [1] * 32
+        levels = E.nrzi_encode(np.array(bits, dtype=np.uint8))
+        audio = E.levels_to_audio(levels)
+        t = 2048                    # fixed shape: one compile, 7 phases
+        assert len(audio) <= t
+        x = np.zeros((2, t), dtype=np.int16)
+        x[:, :len(audio)] = audio
+        c0 = init_carry(2)
+        c1, f1, _ = decode_block(jnp.asarray(x), jnp.int32(t), c0,
+                                 frame_slots=8, fused_pipeline=True)
+        c2, f2, _ = decode_block(jnp.asarray(x), jnp.int32(t), c0,
+                                 frame_slots=8, fused_pipeline=True,
+                                 kernel_compact=True)
+        _frames_equal(f1, f2)
+        _carry_equal(c1, c2)
+        assert int(np.asarray(f1.count)[0]) == 2, lead
+
+
 @pytest.mark.slow
 def test_fused_pipeline_matches_exact_bitexact():
     s, t = 8, 2048

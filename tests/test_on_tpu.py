@@ -241,6 +241,29 @@ def test_tpu_superblock_pretiled_bitexact():
                        jax.tree.map(np.asarray, c3))
 
 
+def test_tpu_kernel_compact_bitexact():
+    """In-kernel candidate compaction on real silicon: bit-exact vs the
+    CPU exact chain, in both the plain and the flagship-flag variants
+    (SL32 + mxu FIR is packet-parity-gated like the other mxu modes, so
+    that combination compares against the non-compact kernel with the
+    SAME flags instead)."""
+    _require_tpu()
+    x = _noisy_batch(8, 4096, seed=41)
+    want = _decode_on(_cpu(), x, 4096)
+    got = _decode_on(_tpu(), x, 4096, fused_pipeline=True,
+                     kernel_compact=True)
+    _assert_equal_tree(want, got)
+    # flagship flags: compact vs non-compact on-device, same flags
+    base = dict(fused_pipeline=True, assume_full=True,
+                kernel_guarded=False, kernel_sublanes=32, mxu_fir=True,
+                kernel_unroll=64)
+    _c1, f1, _ = _decode_on(_tpu(), x, 4096, **base)
+    _c2, f2, _ = _decode_on(_tpu(), x, 4096, kernel_compact=True, **base)
+    for name in f1._fields:
+        assert np.array_equal(np.asarray(getattr(f1, name)),
+                              np.asarray(getattr(f2, name))), name
+
+
 def test_tpu_wide_sublane_tiles_bitexact():
     """kernel_sublanes=16 (wider stream tiles: more independent lane
     chains pipelining the latency-bound recurrence) must stay

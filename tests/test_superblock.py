@@ -87,9 +87,10 @@ def test_superblock_pretiled_parity():
     # merged frame sequence and the carry must match the stacked
     # superblock exactly.
     xf = tile_superblock(jnp.asarray(x), 1, 8)[0]
-    c3, f3, _ = decode_block(xf, jnp.int32(k * t), c0, frame_slots=48,
+    long_flags = dict(flags, frame_slots=48)
+    c3, f3, _ = decode_block(xf, jnp.int32(k * t), c0,
                              with_peak=False, pretiled_streams=s,
-                             **flags)
+                             **long_flags)
     f1h = jax.tree.map(np.asarray, f1)
     f3h = jax.tree.map(np.asarray, f3)
     for si in range(s):
