@@ -319,13 +319,15 @@ def run_bench(n_streams: int = 256, block_len: int = 49_152,
                 return pl.decode_superblock(
                     xx, nv, cc, superblock, frame_slots=32,
                     exact_fir=True, fused_pipeline=fast,
-                    device_crc=device_crc, assume_full=fast, **kflags)
+                    device_crc=device_crc, assume_full=fast,
+                    kernel_compact=compact, **kflags)
 
             extra.update(_measure_scaling(
                 step_rm, bufs, wants[:1], n_streams, block_len,
                 superblock, iters,
-                kflags={**kflags, "assume_full": fast}, fast=fast,
-                device_crc=device_crc))
+                kflags={**kflags, "assume_full": fast,
+                        "kernel_compact": compact},
+                fast=fast, device_crc=device_crc))
             extra.update(_measure_timepar())
             for b in bufs:
                 b.delete()

@@ -50,6 +50,27 @@ def test_stream_sharded_matches_unsharded():
 
 
 @needs_mesh
+def test_stream_sharded_kernel_compact_matches():
+    """The in-kernel-compaction path inside a shard_map body (the bench
+    scaling configuration) must equal the unsharded compact decode —
+    the compaction is per-lane state, so sharding cannot perturb it."""
+    s, t = 8, 8192
+    batch = _batch(s, t)
+    mesh = M.make_stream_mesh()
+    fn = make_sharded_decode(mesh, frame_slots=16, fused_pipeline=True,
+                             kernel_compact=True)
+    c1, f1, _ = fn(jnp.asarray(batch), jnp.int32(t), pl.init_carry(s))
+    c2, f2, _ = pl.decode_block(jnp.asarray(batch), jnp.int32(t),
+                                pl.init_carry(s), frame_slots=16,
+                                fused_pipeline=True, kernel_compact=True)
+    for name in f1._fields:
+        assert np.array_equal(np.asarray(getattr(f1, name)),
+                              np.asarray(getattr(f2, name))), name
+    for a, b in zip(jax.tree.leaves(c1), jax.tree.leaves(c2)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+@needs_mesh
 def test_fir_halo_exchange_exact():
     rng = np.random.default_rng(0)
     s, t = 4, 4096
