@@ -116,6 +116,10 @@ def run_bench(n_streams: int = 256, block_len: int = 49_152,
         kflags["kernel_guarded"] = False
 
     pretiled = pretiled and fast and superblock > 1
+    # compact is only ever applied on the pretiled step + its scaling
+    # block — downgrade it with pretiled so the recorded mode block
+    # never claims a flag the decode did not actually run
+    compact = compact and pretiled
     if pretiled:
         # the fused kernel's NATIVE input layout: [nt*T_total, sb,
         # LANES] stream tiles over the WHOLE superblock.  Two r5 wins

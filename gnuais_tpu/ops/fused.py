@@ -937,7 +937,12 @@ def _pipeline_kernel(scal_ref, x_ref, pll_in, prev_in, last_in, hist_in,
                             hit = write & (dstv >= pg) & (dstv < pg + PG)
 
                             def do_pg(pg=pg, hit=hit, dstv=dstv):
-                                for d in range(pg, pg + PG):
+                                # clamp the LAST page: compact_slots
+                                # need not be a PG multiple, and a
+                                # static ref index past the buffer is
+                                # undefined on the Mosaic backend
+                                for d in range(pg, min(pg + PG,
+                                                       compact_slots)):
                                     sel = hit & (dstv == d)
                                     for w in range(REG_WORDS):
                                         cw_ref[d, w] = jnp.where(
@@ -1281,6 +1286,13 @@ def pipeline_fused_compact(samples: jax.Array, n_valid: jax.Array,
 
     Returns (count_raw, words, length, start, end, lost2, over,
     new_history, new_dpll, new_hdlc).
+
+    NOTE: the tiling/history/state marshalling here deliberately
+    mirrors pipeline_fused line for line (only the output side
+    differs: dense slot blocks instead of the mini-buffer stream).  A
+    change to the tile layout, history carry or scalar packing must be
+    applied to BOTH wrappers — the compact parity tests
+    (test_fused_pipeline / test_on_tpu) catch a divergence.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"

@@ -43,6 +43,27 @@ def init_dpll(n_streams: int):
     return demod.init_dpll(n_streams)
 
 
+def _device_crc_filter(frames: "demod.FrameBatch", s: int,
+                       frame_slots: int) -> "demod.FrameBatch":
+    """On-device CRC post-pass shared by every fused decode branch:
+    compact first (candidate slots are ~12x the frame slots), then the
+    gather-free linear CRC (ops/crc, protodec.c:120-167 semantics),
+    then keep only passers — rejects land in the crcfail counter."""
+    from gnuais_tpu.ops import crc as crc_ops
+    ok = crc_ops.crc_check_frames_linear(
+        frames.words.reshape(-1, frames.words.shape[-1]),
+        frames.length.reshape(-1)).reshape(s, frame_slots)
+    present = (jnp.arange(frame_slots)[None, :]
+               < frames.count[:, None])
+    crcfail = jnp.sum(present & jnp.logical_not(ok),
+                      axis=1).astype(jnp.int32)
+    kept = demod.compact_candidates(
+        demod.init_frames(s, frame_slots), present & ok,
+        frames.words, frames.length, frames.start, frames.end,
+        lost2=frames.lost2, over=frames.dropped)
+    return kept._replace(crcfail=crcfail)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("frame_slots", "exact_fir", "fast_dpll",
                                     "fused_frontend", "fused_pipeline",
@@ -118,19 +139,7 @@ def decode_block(samples: jax.Array, n_valid: jax.Array,
             dropped=over + jnp.maximum(count_raw - frame_slots, 0),
             crcfail=jnp.zeros((s,), jnp.int32))
         if device_crc:
-            from gnuais_tpu.ops import crc as crc_ops
-            ok = crc_ops.crc_check_frames_linear(
-                frames.words.reshape(-1, frames.words.shape[-1]),
-                frames.length.reshape(-1)).reshape(s, frame_slots)
-            present = (jnp.arange(frame_slots)[None, :]
-                       < frames.count[:, None])
-            crcfail = jnp.sum(present & jnp.logical_not(ok),
-                              axis=1).astype(jnp.int32)
-            kept = demod.compact_candidates(
-                demod.init_frames(s, frame_slots), present & ok,
-                frames.words, frames.length, frames.start, frames.end,
-                lost2=frames.lost2, over=frames.dropped)
-            frames = kept._replace(crcfail=crcfail)
+            frames = _device_crc_filter(frames, s, frame_slots)
         peak = fir.block_peak(samples) \
             if (with_peak and pretiled_streams is None) \
             else jnp.zeros((s,), jnp.int32)
@@ -164,19 +173,7 @@ def decode_block(samples: jax.Array, n_valid: jax.Array,
             demod.init_frames(s, frame_slots),
             cand_valid, cw, cl, cs, ce, lost2=lost2, over=over)
         if device_crc:
-            from gnuais_tpu.ops import crc as crc_ops
-            ok = crc_ops.crc_check_frames_linear(
-                frames.words.reshape(-1, frames.words.shape[-1]),
-                frames.length.reshape(-1)).reshape(s, frame_slots)
-            present = (jnp.arange(frame_slots)[None, :]
-                       < frames.count[:, None])
-            crcfail = jnp.sum(present & jnp.logical_not(ok),
-                              axis=1).astype(jnp.int32)
-            kept = demod.compact_candidates(
-                demod.init_frames(s, frame_slots), present & ok,
-                frames.words, frames.length, frames.start, frames.end,
-                lost2=frames.lost2, over=frames.dropped)
-            frames = kept._replace(crcfail=crcfail)
+            frames = _device_crc_filter(frames, s, frame_slots)
         peak = jnp.zeros((s,), jnp.int32)
         return (PipelineCarry(history, dpll_state, hdlc_state),
                 frames, peak)
@@ -211,22 +208,8 @@ def decode_block(samples: jax.Array, n_valid: jax.Array,
             demod.init_frames(samples.shape[0], frame_slots),
             cand_valid, cw, cl, cs, ce, lost2=lost2, over=over)
         if device_crc:
-            # compact first (candidate slots are ~12x the frame slots),
-            # then the gather-free linear CRC, then keep only passers
-            from gnuais_tpu.ops import crc as crc_ops
-            s = samples.shape[0]
-            ok = crc_ops.crc_check_frames_linear(
-                frames.words.reshape(-1, frames.words.shape[-1]),
-                frames.length.reshape(-1)).reshape(s, frame_slots)
-            present = (jnp.arange(frame_slots)[None, :]
-                       < frames.count[:, None])
-            crcfail = jnp.sum(present & jnp.logical_not(ok),
-                              axis=1).astype(jnp.int32)
-            kept = demod.compact_candidates(
-                demod.init_frames(s, frame_slots), present & ok,
-                frames.words, frames.length, frames.start, frames.end,
-                lost2=frames.lost2, over=frames.dropped)
-            frames = kept._replace(crcfail=crcfail)
+            frames = _device_crc_filter(frames, samples.shape[0],
+                                        frame_slots)
         # block_peak re-reads the whole raw block from HBM; skip it for
         # throughput callers that do not feed a level monitor
         peak = fir.block_peak(samples) if with_peak else \
@@ -272,7 +255,8 @@ def decode_block(samples: jax.Array, n_valid: jax.Array,
                                     "mxu_fir", "lobe_fir", "kernel_sublanes",
                                     "kernel_unroll", "kernel_time_chunk",
                                     "with_peak", "assume_full",
-                                    "kernel_guarded", "pretiled_streams"))
+                                    "kernel_guarded", "pretiled_streams",
+                                    "kernel_compact"))
 def decode_superblock(samples: jax.Array, n_valid: jax.Array,
                       carry: PipelineCarry, n_blocks: int,
                       frame_slots: int = 32,

@@ -160,6 +160,33 @@ def test_kernel_compact_default_tier_parity():
 
 
 @pytest.mark.slow
+def test_kernel_compact_device_crc_and_odd_slots():
+    """kernel_compact composed with device_crc (the on-device CRC
+    post-pass runs on the kernel-compacted batch) must match the
+    non-compact device_crc path exactly; frame_slots=24 additionally
+    exercises the paged merge's clamped final page (24 is not a PG=16
+    multiple)."""
+    s, t = 4, 4096
+    x = _noisy_batch(s, t, seed=13, n_payloads=4, gap_bits=30)
+    # corrupt one bit cell mid-payload so a CRC reject flows through
+    # the crcfail accounting on both paths (checked against the golden
+    # receiver: this position deframes but fails CRC; later positions
+    # hit the stop flag and become wrong-size instead)
+    x[1, 900:905] = -x[1, 900:905]
+    c0 = init_carry(s)
+    c1, f1, _ = decode_block(jnp.asarray(x), jnp.int32(t), c0,
+                             frame_slots=24, fused_pipeline=True,
+                             device_crc=True)
+    c2, f2, _ = decode_block(jnp.asarray(x), jnp.int32(t), c0,
+                             frame_slots=24, fused_pipeline=True,
+                             device_crc=True, kernel_compact=True)
+    _frames_equal(f1, f2)
+    assert np.array_equal(np.asarray(f1.crcfail), np.asarray(f2.crcfail))
+    assert np.asarray(f1.crcfail).sum() >= 1
+    _carry_equal(c1, c2)
+
+
+@pytest.mark.slow
 def test_kernel_compact_slot_overflow():
     """frame_slots smaller than the frame count: the running-count
     landing must clip writes and report dropped identically to

@@ -58,7 +58,7 @@ def _noisy_batch(s, t, seed=0, n_payloads=3, gap_bits=48):
     return np.clip(x + noise, -32768, 32767).astype(np.int16)
 
 
-def _decode_on(device, x, t, n_valid=None, **flags):
+def _decode_on(device, x, t, n_valid=None, frame_slots=16, **flags):
     """Run decode_block with inputs placed on ``device`` (the jit
     follows its inputs' platform)."""
     s = x.shape[0]
@@ -66,7 +66,8 @@ def _decode_on(device, x, t, n_valid=None, **flags):
     carry = jax.device_put(pl.init_carry(s), device)
     nv = jax.device_put(jnp.int32(t if n_valid is None else n_valid),
                         device)
-    c, fr, pk = pl.decode_block(xd, nv, carry, frame_slots=16, **flags)
+    c, fr, pk = pl.decode_block(xd, nv, carry, frame_slots=frame_slots,
+                                **flags)
     return jax.tree.map(np.asarray, (c, fr, pk))
 
 
@@ -262,6 +263,17 @@ def test_tpu_kernel_compact_bitexact():
     for name in f1._fields:
         assert np.array_equal(np.asarray(getattr(f1, name)),
                               np.asarray(getattr(f2, name))), name
+    # frame_slots=24 (not a PG=16 multiple): the paged merge's clamped
+    # final page must lower cleanly on Mosaic and stay bit-exact; with
+    # device_crc composed on top
+    _c3, f3, _ = _decode_on(_tpu(), x, 4096, frame_slots=24,
+                            fused_pipeline=True, device_crc=True)
+    _c4, f4, _ = _decode_on(_tpu(), x, 4096, frame_slots=24,
+                            fused_pipeline=True, device_crc=True,
+                            kernel_compact=True)
+    for name in f3._fields:
+        assert np.array_equal(np.asarray(getattr(f3, name)),
+                              np.asarray(getattr(f4, name))), name
 
 
 def test_tpu_wide_sublane_tiles_bitexact():

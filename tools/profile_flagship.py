@@ -40,7 +40,6 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    sys.path.insert(0, REPO)
     from bench import _enable_compile_cache, build_batch
     from gnuais_tpu.runtime import pipeline as pl
 
@@ -87,6 +86,9 @@ def main():
     if not cands:
         cands = glob.glob(os.path.join(args.outdir, "**/*.trace.json.gz"),
                           recursive=True)
+    if not cands:
+        sys.exit(f"no *.trace.json.gz found under {args.outdir} — "
+                 "did the profiler trace step fail?")
     path = max(cands, key=os.path.getmtime)
     with gzip.open(path, "rt") as f:
         tr = json.load(f)
