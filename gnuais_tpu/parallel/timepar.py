@@ -155,6 +155,11 @@ def time_parallel_decode(stream: np.ndarray, chunk_len: int = 65_536,
         lanes, jnp.int32(win), carry,
         frame_slots=frame_slots, exact_fir=True, fast_dpll=fast_dpll,
         fused_pipeline=fused_pipeline, block_base=0,
+        # in-kernel compaction rides along wherever the fused kernel
+        # runs (bit-identical; the ~99%-empty candidate axis never
+        # reaches HBM — r5)
+        kernel_compact=decode_flags.pop("kernel_compact",
+                                        fused_pipeline),
         lost2_lo=jnp.int32(overlap),
         lost2_hi=jnp.int32(overlap + chunk_len), **decode_flags)
     # lane max == stream max (overlap duplicates and zero padding
